@@ -1,38 +1,36 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship BM25 top-k on sf0.001;
+``queries()`` / ``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 with its DuckDB oracle (see idzebra_spark.entry_queries).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 for 'merge sort' over sf0.001 documents."""
+    from idzebra_spark.operators.bruteforce import bm25_topk
+    from idzebra_spark.sources.corpus import load_documents
+
+    docs = load_documents(spark, "/root/testdata/sf0.001")
+    return bm25_topk(docs, ["merge", "sort"], k=10, mode="or")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from idzebra_spark.entry_queries import REGISTRY
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from idzebra_spark.entry_queries import REGISTRY
+
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

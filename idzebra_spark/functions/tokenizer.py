@@ -1,0 +1,75 @@
+"""Charmap-equivalent tokenizer, expressed with JVM built-ins only.
+
+Zebra's default "word" index type (`w`) normalizes through the charmap
+pipeline — lowercase, split on any character not in the mapped
+alphabet, emit one token per word with an incrementing ``seqno``
+(reference: /root/reference/tab/string.chr:8-14 defines lowercase
+a-z0-9 as the alphabet and everything else as space;
+/root/reference/index/extract.c:1666-1721 is the incomplete-field
+token loop that assigns positions). Tokens are capped at
+``IT_MAX_WORD`` = 512 bytes (/root/reference/include/it_key.h:27).
+
+Spark-first: the whole pipeline is ``lower`` → ``split`` (regex) →
+``filter`` → ``posexplode`` — all JVM/whole-stage-codegen, zero Python
+in the hot path. Positions are 1-based over *non-empty* tokens, which
+matches Zebra (separator runs produce no token, no position gap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Zebra charmap: alphabet = [0-9a-z] after lowercasing; all else splits.
+# (tab/string.chr:8-14 — `lowercase {0-9}{a-z}`, `space {\001-\055 ...}`)
+TOKEN_SPLIT_RE = "[^0-9a-z]+"
+
+MAX_TOKEN_LEN = 512  # IT_MAX_WORD, include/it_key.h:27
+
+
+def tokenize_array(text: Column) -> Column:
+    """Return an ``array<string>`` of normalized tokens for ``text``.
+
+    Pure column expression (JVM-side): lowercase, regex split, drop
+    empties, truncate to MAX_TOKEN_LEN.
+    """
+    arr = F.split(F.lower(text), TOKEN_SPLIT_RE)
+    arr = F.filter(arr, lambda t: t != F.lit(""))
+    return F.transform(arr, lambda t: F.substring(t, 1, MAX_TOKEN_LEN))
+
+
+def tokenize(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Explode a corpus into logical postings ``(doc_id, term, pos)``.
+
+    ``pos`` is 1-based token position within the document — the Spark
+    column equivalent of ``it_key.mem[seqno]``
+    (/root/reference/index/extract.c:1580-1588).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_array(F.col(text_col)).alias("_toks"),
+    )
+    return toks.select(
+        "doc_id",
+        F.posexplode("_toks").alias("_p", "term"),
+    ).select(
+        "doc_id",
+        "term",
+        (F.col("_p") + 1).cast("int").alias("pos"),
+    )
+
+
+def doc_lengths(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token counts ``(doc_id, doclen)`` — BM25's |d|."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize_array(F.col(text_col))).alias("doclen"),
+    )
