@@ -1,0 +1,319 @@
+"""Block-max WAND top-k query engine over the segment index.
+
+The read path mirrors Zebra's (SURVEY.md §3.1): dictionary lookup →
+posting access → merged key stream → per-doc score → bounded top-k
+(/root/reference/index/zsets.c:1084-1191), with the two physical
+optimizations the reference leans on:
+
+- **skip/forward**: Zebra's ``isamb_pp_forward`` descends B-tree
+  internal nodes to skip whole subtrees
+  (/root/reference/isamb/isamb.c:1525); here each posting block carries
+  (first_docid, last_docid, max_tf) block-max metadata, and the kernel
+  skips blocks that cannot beat the running threshold θ (OR) or cannot
+  overlap surviving candidates (AND) — lossless pruning, proved by the
+  rank-identity tests against the brute-force plan.
+- **child ordering**: multi-AND evaluates children smallest-first
+  (/root/reference/rset/rsmultiandor.c:26-31); the kernel intersects
+  terms in ascending document frequency.
+
+Distribution: blocks and norms are cogrouped by shard — scoring is
+embarrassingly parallel across shards (no cross-shard traffic), then a
+tiny global top-k merge. θ for OR queries is seeded by fully scoring
+only the highest-idf (rarest) query term — one cheap distributed pass —
+then passed into the main kernel as a constant.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from idzebra_spark.functions.codec import varint_decode, delta_varint_decode
+from idzebra_spark.functions.scoring import K1, B
+
+TOPK_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("raw", T.DoubleType()),
+    T.StructField("n_matched", T.IntegerType()),
+])
+
+COUNT_SCHEMA = T.StructType([
+    T.StructField("hits", T.LongType()),
+])
+
+RESULT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("score_milli", T.LongType()),
+])
+
+
+def _bm25_tf(tf, dl, avgdl, k1=K1, b=B):
+    tf = np.asarray(tf, dtype=np.float64)
+    norm = k1 * ((1.0 - b) + b * np.asarray(dl, dtype=np.float64) / avgdl)
+    return tf * (k1 + 1.0) / (tf + norm)
+
+
+def _decode_norms(norms_pdf: pd.DataFrame):
+    docids = delta_varint_decode(bytes(norms_pdf["docids_bin"].iloc[0])).astype(
+        np.int64
+    )
+    dls = varint_decode(bytes(norms_pdf["doclens_bin"].iloc[0])).astype(np.int64)
+    return docids, dls
+
+
+def _shard_kernel(term_idf, term_order, avgdl, mode, theta, k, k1=K1, b=B):
+    """Per-shard scorer. term_idf: {term: idf}; term_order: terms in
+    ascending df (AND intersection order). Returns per-shard top-k."""
+
+    n_terms = len(term_order)
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "raw": pd.Series([], dtype="float64"),
+         "n_matched": pd.Series([], dtype="int32")}
+    )
+
+    def fn(blocks: pd.DataFrame, norms: pd.DataFrame) -> pd.DataFrame:
+        if len(blocks) == 0 or len(norms) == 0:
+            return empty
+        nd_docids, nd_dls = _decode_norms(norms)
+        min_dl = float(norms["min_dl"].iloc[0])
+
+        by_term = {t: g for t, g in blocks.groupby("term", sort=False)}
+        present = [t for t in term_order if t in by_term]
+        if mode == "and" and len(present) < n_terms:
+            return empty
+        if not present:
+            return empty
+
+        # term-level score upper bounds from block-max metadata
+        term_ub = {
+            t: float(
+                term_idf[t]
+                * _bm25_tf(by_term[t]["max_tf"].max(), min_dl, avgdl, k1, b)
+            )
+            for t in present
+        }
+        sum_ub = sum(term_ub.values())
+
+        decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        candidates: np.ndarray | None = None
+        for t in present:
+            g = by_term[t]
+            first = g["first_docid"].to_numpy(np.int64)
+            last = g["last_docid"].to_numpy(np.int64)
+            keep = np.ones(len(g), dtype=bool)
+            if mode == "and" and candidates is not None:
+                # zig-zag analog: only decode blocks overlapping a
+                # surviving candidate (isamb_pp_forward skipping)
+                lo = np.searchsorted(candidates, first, side="left")
+                hi = np.searchsorted(candidates, last, side="right")
+                keep = hi > lo
+            elif mode == "or" and theta > 0.0:
+                # block-max WAND: block ub + other terms' max ubs < θ
+                # ⇒ no doc in this block can reach the top-k (lossless,
+                # strict <; ties at θ are kept)
+                blk_ub = term_idf[t] * _bm25_tf(
+                    g["max_tf"].to_numpy(np.int64), min_dl, avgdl, k1, b
+                )
+                keep = (blk_ub + (sum_ub - term_ub[t])) >= theta
+            if not keep.any():
+                if mode == "and":
+                    return empty
+                decoded[t] = (np.empty(0, np.int64), np.empty(0, np.int64))
+                continue
+            dparts, tparts = [], []
+            for _, row in g[keep].iterrows():
+                dparts.append(
+                    delta_varint_decode(bytes(row["docids_bin"])).astype(np.int64)
+                )
+                tparts.append(
+                    varint_decode(bytes(row["tfs_bin"])).astype(np.int64)
+                )
+            d = np.concatenate(dparts)
+            tfv = np.concatenate(tparts)
+            o = np.argsort(d, kind="mergesort")
+            d, tfv = d[o], tfv[o]
+            decoded[t] = (d, tfv)
+            if mode == "and":
+                candidates = d if candidates is None else np.intersect1d(
+                    candidates, d, assume_unique=True
+                )
+                if candidates.size == 0:
+                    return empty
+
+        if mode == "and":
+            docs = candidates
+            dl = nd_dls[np.searchsorted(nd_docids, docs)]
+            raw = np.zeros(docs.size, dtype=np.float64)
+            for t in present:
+                d, tfv = decoded[t]
+                raw += term_idf[t] * _bm25_tf(
+                    tfv[np.searchsorted(d, docs)], dl, avgdl, k1, b
+                )
+            n_matched = np.full(docs.size, n_terms, dtype=np.int32)
+        else:
+            all_docs = np.concatenate([decoded[t][0] for t in present])
+            if all_docs.size == 0:
+                return empty
+            docs, inv = np.unique(all_docs, return_inverse=True)
+            dl = nd_dls[np.searchsorted(nd_docids, docs)]
+            raw = np.zeros(docs.size, dtype=np.float64)
+            n_matched = np.zeros(docs.size, dtype=np.int64)
+            off = 0
+            for t in present:
+                d, tfv = decoded[t]
+                if d.size == 0:
+                    continue
+                idx = inv[off : off + d.size]
+                raw[idx] += term_idf[t] * _bm25_tf(tfv, dl[idx], avgdl, k1, b)
+                n_matched[idx] += 1
+                off += d.size
+
+        if k is not None and docs.size > k:
+            # bounded top-k (score desc, docid asc) — Zebra's
+            # resultSetInsertRank tie discipline (zsets.c:716-736)
+            sel = np.lexsort((docs, -raw))[:k]
+            docs, raw, n_matched = docs[sel], raw[sel], n_matched[sel]
+        return pd.DataFrame(
+            {"doc_id": docs.astype(np.int64), "raw": raw,
+             "n_matched": n_matched.astype(np.int32)}
+        )
+
+    return fn
+
+
+class SegmentIndex:
+    """Query-side handle on a committed segment index."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        lineage = spark.read.parquet(f"{path}/lineage")
+        # latest committed batch per shard (update/reindex wins by seq)
+        w_latest = lineage.groupBy("shard").agg(F.max("build_seq").alias("build_seq"))
+        self.shard_batch = (
+            lineage.join(w_latest, ["shard", "build_seq"])
+            .select("shard", "batch")
+            .cache()
+        )
+        self._batches = [r["batch"] for r in self.shard_batch.select("batch").distinct().collect()]
+        self.blocks = spark.read.parquet(f"{path}/blocks").join(
+            F.broadcast(self.shard_batch), ["shard", "batch"], "semi"
+        )
+        self.norms = spark.read.parquet(f"{path}/norms").join(
+            F.broadcast(self.shard_batch), ["shard", "batch"], "semi"
+        )
+        self._stats = None
+        self._dict = None
+
+    # -------------------------------------------------------- metadata
+
+    def stats(self) -> tuple[int, float]:
+        if self._stats is None:
+            s = (
+                self.spark.read.parquet(f"{self.path}/stats")
+                .where(F.col("batch").isin(self._batches))
+                .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
+                .collect()[0]
+            )
+            self._stats = (int(s["n"]), float(s["s"]) / float(s["n"]))
+        return self._stats
+
+    def dictionary(self) -> DataFrame:
+        """Global (term, df, cf, max_tf) — merged batch partials
+        (the kinput.c:709 heap-merge, as a groupBy)."""
+        return (
+            self.spark.read.parquet(f"{self.path}/dictionary")
+            .where(F.col("batch").isin(self._batches))
+            .groupBy("term")
+            .agg(
+                F.sum("df").alias("df"),
+                F.sum("cf").alias("cf"),
+                F.max("max_tf").alias("max_tf"),
+            )
+        )
+
+    def doc_meta(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.path}/doc_meta").join(
+            F.broadcast(self.shard_batch), ["shard", "batch"], "semi"
+        )
+
+    def lookup_terms(self, terms: list[str]) -> dict[str, dict]:
+        rows = self.dictionary().where(F.col("term").isin(terms)).collect()
+        return {r["term"]: {"df": r["df"], "cf": r["cf"], "max_tf": r["max_tf"]} for r in rows}
+
+    # ----------------------------------------------------------- query
+
+    def _empty_result(self) -> DataFrame:
+        return self.spark.createDataFrame([], RESULT_SCHEMA)
+
+    def _run(self, terms_info, avgdl, mode, theta, k) -> DataFrame:
+        terms = [t for t, _ in terms_info]
+        term_idf = {t: i["idf"] for t, i in terms_info}
+        order = [t for t, _ in sorted(terms_info, key=lambda x: x[1]["df"])]
+        blk = self.blocks.where(F.col("term").isin(terms))
+        nrm = self.norms.join(
+            blk.select("shard").distinct(), "shard", "semi"
+        )
+        kernel = _shard_kernel(term_idf, order, avgdl, mode, theta, k)
+        return (
+            blk.groupBy("shard")
+            .cogroup(nrm.groupBy("shard"))
+            .applyInPandas(kernel, TOPK_SCHEMA)
+        )
+
+    def topk(self, terms: list[str], k: int = 10, mode: str = "or") -> DataFrame:
+        """BM25 top-k -> (doc_id, score_milli), rank-identical to
+        operators.bruteforce.bm25_topk."""
+        terms = sorted(set(t.lower() for t in terms))
+        n_docs, avgdl = self.stats()
+        info = self.lookup_terms(terms)
+        if mode == "and" and len(info) < len(terms):
+            return self._empty_result()
+        if not info:
+            return self._empty_result()
+        terms_info = []
+        for t, d in info.items():
+            d["idf"] = math.log(1.0 + (n_docs - d["df"] + 0.5) / (d["df"] + 0.5))
+            terms_info.append((t, d))
+
+        theta = 0.0
+        if mode == "or" and len(terms_info) > 1:
+            # θ seed: fully score only the rarest (highest-idf) term
+            seed = [max(terms_info, key=lambda x: x[1]["idf"])]
+            seed_rows = (
+                self._run(seed, avgdl, "or", 0.0, k)
+                .orderBy(F.desc("raw"), F.asc("doc_id"))
+                .limit(k)
+                .collect()
+            )
+            if len(seed_rows) == k:
+                theta = seed_rows[-1]["raw"]
+
+        out = self._run(terms_info, avgdl, mode, theta, k)
+        return (
+            out.orderBy(F.desc("raw"), F.asc("doc_id"))
+            .limit(k)
+            .select(
+                "doc_id",
+                F.round(F.col("raw") * 10000, 0).cast("long").alias("score_milli"),
+            )
+        )
+
+    def count(self, terms: list[str], mode: str = "or") -> int:
+        """Exact boolean hit count (tl_query analogue)."""
+        terms = sorted(set(t.lower() for t in terms))
+        n_docs, avgdl = self.stats()
+        info = self.lookup_terms(terms)
+        if not info or (mode == "and" and len(info) < len(terms)):
+            return 0
+        terms_info = [(t, {**d, "idf": 1.0}) for t, d in info.items()]
+        rows = self._run(terms_info, avgdl, mode, 0.0, None)
+        if mode == "and":
+            rows = rows.where(F.col("n_matched") == len(terms))
+        return rows.count()
