@@ -14,9 +14,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from idzebra_spark import oracle
+from idzebra_spark.functions.scoring import log2i
 from idzebra_spark.functions.tokenizer import tokenize
+from idzebra_spark.operators.boolean import PostingsOps
 from idzebra_spark.operators.bruteforce import bm25_topk
 from idzebra_spark.sources.corpus import load_documents
+
+_OPS_CACHE: dict[str, PostingsOps] = {}
+_IDX_CACHE: dict[str, object] = {}
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -25,6 +30,28 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _posting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenize(_docs(spark, sf_dir))
+
+
+def _ops(spark: SparkSession, sf_dir: str) -> PostingsOps:
+    if sf_dir not in _OPS_CACHE:
+        _OPS_CACHE[sf_dir] = PostingsOps(_docs(spark, sf_dir))
+    return _OPS_CACHE[sf_dir]
+
+
+def _index(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) a segment index in a temp dir and return
+    the SegmentIndex handle — the WAND-backed query entries run on it."""
+    if sf_dir not in _IDX_CACHE:
+        import tempfile
+
+        from idzebra_spark.operators.segment import build_index
+        from idzebra_spark.operators.wand import SegmentIndex
+
+        path = tempfile.mkdtemp(prefix="idzebra_entry_") + "/idx"
+        build_index(spark, _docs(spark, sf_dir), path,
+                    shard_size=512, block_size=128)
+        _IDX_CACHE[sf_dir] = SegmentIndex(spark, path)
+    return _IDX_CACHE[sf_dir]
 
 
 # ---------------------------------------------------------------- BM25
@@ -103,7 +130,254 @@ def q_phrase(spark, sf_dir):
     )
 
 
+# ------------------------------------------------- WAND segment engine
+
+def q_wand_bm25_or(spark, sf_dir):
+    return _index(spark, sf_dir).topk(["merge", "sort"], 10, "or")
+
+
+def q_wand_bm25_and(spark, sf_dir):
+    return _index(spark, sf_dir).topk(["spark", "query"], 10, "and")
+
+
+def q_wand_bm25_highdf(spark, sf_dir):
+    return _index(spark, sf_dir).topk(["the", "data", "key"], 10, "or")
+
+
+# ------------------------------------------------------- boolean layer
+
+def q_bool_not(spark, sf_dir):
+    o = _ops(spark, sf_dir)
+    return (
+        o.not_(o.term_docs("merge"), o.term_docs("sort"))
+        .orderBy(F.asc("doc_id")).limit(100)
+    )
+
+
+def q_prox(spark, sf_dir):
+    o = _ops(spark, sf_dir)
+    return (
+        o.prox("merge", "sort", "<=", 3, ordered=False)
+        .orderBy(F.asc("doc_id")).limit(100)
+    )
+
+
+def q_trunc_prefix(spark, sf_dir):
+    o = _ops(spark, sf_dir)
+    return (
+        o.trunc_docs(o.expand_prefix("sc"))
+        .orderBy(F.asc("doc_id")).limit(100)
+    )
+
+
+def q_regex_terms(spark, sf_dir):
+    o = _ops(spark, sf_dir)
+    return (
+        o.dictionary().where(F.col("term").rlike("^s[a-z]*t$"))
+        .select("term", "df").orderBy(F.asc("term")).limit(100)
+    )
+
+
+def q_facets(spark, sf_dir):
+    o = _ops(spark, sf_dir)
+    hits = o.or_([o.term_docs("merge"), o.term_docs("sort")])
+    return o.facets(hits, "source", 10)
+
+
+def q_snippets(spark, sf_dir):
+    o = _ops(spark, sf_dir)
+    hits = o.term_docs("merge")
+    return (
+        o.snippets("merge", hits, window=2)
+        .orderBy(F.asc("doc_id")).limit(10)
+    )
+
+
+def q_sort_by_field(spark, sf_dir):
+    o = _ops(spark, sf_dir)
+    hits = o.term_docs("merge")
+    src = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return (
+        src.join(hits, "doc_id", "semi")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def q_rank1(spark, sf_dir):
+    """Zebra rank-1 reference scorer (rank1.c:192-218), integer exact."""
+    terms = ["merge", "sort"]
+    p = _posting(spark, sf_dir)
+    toks = p.groupBy("doc_id").agg(F.count("*").alias("doclen"))
+    tf = (
+        p.where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    nq = len(terms)
+    contrib = (F.lit(8) + log2i(F.col("tf"))) * (
+        F.lit(32) - log2i(F.col("df"))
+    ) * F.lit(34)
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .join(toks, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(contrib).alias("s"),
+            F.count("*").alias("nm"),
+            F.first("doclen").alias("dl"),
+        )
+    )
+    divisor = F.col("nm") * (F.lit(8) + log2i(F.floor(F.col("dl") / nq)))
+    return (
+        scored.select(
+            "doc_id",
+            F.least(
+                F.lit(1000),
+                F.floor(F.col("s") / divisor).cast("long"),
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def q_parsed_bool(spark, sf_dir):
+    """Query-language end-to-end: parse → rset DAG → doc set."""
+    from idzebra_spark.plans.query import parse
+
+    q = parse('(merge OR sort) AND scan NOT "batch batch"')
+    return q.eval(_ops(spark, sf_dir)).orderBy(F.asc("doc_id")).limit(100)
+
+
+_PARSED_BOOL_SQL = f"""
+WITH {oracle.TOKS_CTE},
+a AS (SELECT DISTINCT doc_id FROM posting WHERE term IN ('merge','sort')),
+b AS (SELECT DISTINCT doc_id FROM posting WHERE term = 'scan'),
+ph AS (
+  SELECT DISTINCT p0.doc_id
+  FROM posting p0 JOIN posting p1
+    ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+  WHERE p0.term = 'batch' AND p1.term = 'batch'
+)
+SELECT doc_id FROM a
+INTERSECT SELECT doc_id FROM b
+EXCEPT SELECT doc_id FROM ph
+ORDER BY doc_id ASC LIMIT 100
+"""
+
+
+# --------------------------------------- training-data pipeline ops
+
+def q_text_token_stats(spark, sf_dir):
+    from idzebra_spark.operators.textops import token_stats
+
+    return token_stats(_docs(spark, sf_dir)).orderBy("doc_id").limit(200)
+
+
+def q_text_quality(spark, sf_dir):
+    from idzebra_spark.operators.textops import quality_score
+
+    return quality_score(_docs(spark, sf_dir)).orderBy("doc_id").limit(200)
+
+
+def q_text_langid(spark, sf_dir):
+    from idzebra_spark.operators.textops import lang_id
+
+    return lang_id(_docs(spark, sf_dir)).orderBy("doc_id").limit(200)
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from idzebra_spark.operators.textops import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir)).orderBy("doc_id").limit(200)
+
+
+def q_dedup_exact(spark, sf_dir):
+    from idzebra_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_docs(spark, sf_dir)).orderBy("sha256")
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    from idzebra_spark.operators.dedup import jaccard_pairs
+
+    return (
+        jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+        .orderBy("doc_a", "doc_b").limit(500)
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from idzebra_spark.operators.dedup import minhash_lsh_pairs
+
+    return (
+        minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+        .orderBy("doc_a", "doc_b").limit(500)
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from idzebra_spark.operators.dedup import simhash_dup_groups
+
+    return simhash_dup_groups(_docs(spark, sf_dir), n_bits=32).orderBy("simhash")
+
+
+def _query_vec(spark, sf_dir, vec_id=0):
+    from idzebra_spark.sources.corpus import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.where(F.col("vec_id") == vec_id).select("embedding").collect()[0]
+    return emb, [float(x) for x in row["embedding"]]
+
+
+def q_sim_cosine_topk(spark, sf_dir):
+    from idzebra_spark.operators.similarity import cosine_topk
+
+    emb, qv = _query_vec(spark, sf_dir, 0)
+    return cosine_topk(emb, qv, k=10, exclude_id=0)
+
+
+def q_sim_lsh_topk(spark, sf_dir):
+    from idzebra_spark.operators.similarity import lsh_topk
+
+    emb, qv = _query_vec(spark, sf_dir, 0)
+    return lsh_topk(emb, qv, k=10, n_planes=6, exclude_id=0)
+
+
+def q_sim_ivf_topk(spark, sf_dir):
+    from idzebra_spark.operators.similarity import ivf_topk
+
+    emb, qv = _query_vec(spark, sf_dir, 0)
+    return ivf_topk(emb, qv, k=10, n_probe=2, exclude_id=0)
+
+
+from idzebra_spark import oracle_ml  # noqa: E402
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "text_token_stats": (q_text_token_stats, oracle_ml.token_stats_sql(200)),
+    "text_quality": (q_text_quality, oracle_ml.quality_sql(200)),
+    "text_langid": (q_text_langid, oracle_ml.lang_id_sql(200)),
+    "text_fingerprint": (q_text_fingerprint, oracle_ml.fingerprint_sql(200)),
+    "dedup_exact": (q_dedup_exact, oracle_ml.dedup_exact_sql()),
+    "dedup_jaccard": (q_dedup_jaccard, oracle_ml.jaccard_pairs_sql(0.5, 500)),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, oracle_ml.minhash_lsh_pairs_sql(0.5, 16, 4, 500)),
+    "dedup_simhash": (q_dedup_simhash, oracle_ml.simhash_groups_sql(32)),
+    "sim_cosine_topk": (q_sim_cosine_topk, oracle_ml.cosine_topk_sql(0, 10)),
+    "sim_lsh_topk": (q_sim_lsh_topk, None),   # ANN: recall vs brute in pytest
+    "sim_ivf_topk": (q_sim_ivf_topk, None),   # ANN: recall vs brute in pytest
+    "wand_bm25_or": (q_wand_bm25_or, oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
+    "wand_bm25_and": (q_wand_bm25_and, oracle.bm25_topk_sql(["spark", "query"], 10, "and")),
+    "wand_bm25_highdf": (q_wand_bm25_highdf, oracle.bm25_topk_sql(["the", "data", "key"], 10, "or")),
+    "bool_not": (q_bool_not, oracle.bool_not_sql("merge", "sort", 100)),
+    "prox_unordered": (q_prox, oracle.prox_sql("merge", "sort", 3, 100)),
+    "trunc_prefix": (q_trunc_prefix, oracle.trunc_prefix_sql("sc", 100)),
+    "regex_terms": (q_regex_terms, oracle.regex_terms_sql("^s[a-z]*t$", 100)),
+    "facets": (q_facets, oracle.facet_sql(["merge", "sort"], "source", 10)),
+    "snippets": (q_snippets, oracle.snippet_sql("merge", 2, 10)),
+    "sort_by_field": (q_sort_by_field, oracle.sort_by_field_sql("merge", "n_chars", 10)),
+    "rank1": (q_rank1, oracle.rank1_sql(["merge", "sort"], 10)),
+    "parsed_bool": (q_parsed_bool, _PARSED_BOOL_SQL),
     "bm25_single": (q_bm25_single, oracle.bm25_topk_sql(["merge"], 10, "or")),
     "bm25_or": (q_bm25_or, oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
     "bm25_and": (q_bm25_and, oracle.bm25_topk_sql(["spark", "query"], 10, "and")),

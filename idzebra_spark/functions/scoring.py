@@ -48,9 +48,13 @@ def bm25_term_score(
 
 def log2i(col: Column) -> Column:
     """Integer floor-log2 with log2i(x<=0) = 0 — Zebra's wrd_log
-    (/root/reference/index/rank1.c:38-47 computes log2 by shifting)."""
-    return F.when(col <= 0, F.lit(0)).otherwise(
-        F.floor(F.log2(col.cast("double"))).cast("long")
+    (/root/reference/index/rank1.c:38-47 computes log2 by shifting).
+    Implemented via the binary-string length (exact integer semantics;
+    float log2(8) can round to 2.9999... and floor wrong)."""
+    return (
+        F.when(col <= 0, F.lit(0))
+        .otherwise(F.length(F.bin(col.cast("long"))) - 1)
+        .cast("long")
     )
 
 

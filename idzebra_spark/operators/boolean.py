@@ -1,0 +1,217 @@
+"""Result-set (dataflow) operator layer — Zebra's ``rset/`` family as
+DataFrame plans over the logical postings relation (doc_id, term, pos).
+
+Scope semantics (/root/reference/include/rset.h:172-183): scope 2 =
+"same document" → joins/aggregations on doc_id; scope 1 = "same
+position" → predicates over (doc_id, pos). Each function returns a
+DataFrame of matching doc_ids (or (doc_id, pos) for position-level
+ops), composable like the rset DAG built by rpn_search_structure
+(/root/reference/index/rpnsearch.c:2567-2772).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from idzebra_spark.functions.tokenizer import tokenize
+
+
+class PostingsOps:
+    """Boolean/proximity/truncation algebra over a tokenized corpus."""
+
+    def __init__(self, corpus: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        self.corpus = corpus
+        self.text_col = text_col
+        self.id_col = id_col
+        self.posting = tokenize(corpus, text_col, id_col)
+
+    # ------------------------------------------------------------ leaves
+
+    def term_docs(self, term: str) -> DataFrame:
+        """rsisamb leaf at scope 2 (/root/reference/rset/rsisamb.c:37-48):
+        distinct docs containing the term."""
+        return (
+            self.posting.where(F.col("term") == term.lower())
+            .select("doc_id").distinct()
+        )
+
+    def term_positions(self, term: str) -> DataFrame:
+        """Leaf at scope 1: (doc_id, pos) stream."""
+        return self.posting.where(F.col("term") == term.lower()).select(
+            "doc_id", "pos"
+        )
+
+    def null_set(self) -> DataFrame:
+        """rsnull (/root/reference/rset/rsnull.c)."""
+        return self.posting.select("doc_id").limit(0)
+
+    # ----------------------------------------------------------- boolean
+
+    def and_(self, sets: list[DataFrame]) -> DataFrame:
+        """n-ary AND — rsmulti_and zig-zag intersection
+        (/root/reference/rset/rsmultiandor.c:452-556) as inner joins;
+        Catalyst/AQE picks broadcast for small sides."""
+        return reduce(lambda a, b: a.join(b, "doc_id"), sets)
+
+    def or_(self, sets: list[DataFrame]) -> DataFrame:
+        """n-ary OR — rsmulti_or heap merge
+        (/root/reference/rset/rsmultiandor.c:95-180) as UNION+distinct."""
+        return reduce(lambda a, b: a.unionByName(b), sets).distinct()
+
+    def not_(self, left: DataFrame, right: DataFrame) -> DataFrame:
+        """AND-NOT — rsbool ordered difference merge
+        (/root/reference/rset/rsbool.c:173-225) as LEFT ANTI JOIN."""
+        return left.join(right, "doc_id", "left_anti")
+
+    # --------------------------------------------------------- proximity
+
+    def prox(
+        self,
+        t1: str,
+        t2: str,
+        relation: str = "=",
+        distance: int = 1,
+        ordered: bool = True,
+    ) -> DataFrame:
+        """Proximity — rsprox pairwise seqno comparison
+        (/root/reference/rset/rsprox.c:162-213: ordered fast path checks
+        ``diff relation distance`` where diff = seqno2 - seqno1;
+        unordered uses |diff|). Returns distinct matching doc_ids."""
+        p1 = self.term_positions(t1).alias("a")
+        p2 = self.term_positions(t2).alias("b")
+        diff = F.col("b.pos") - F.col("a.pos")
+        if not ordered:
+            diff = F.abs(diff)
+        ops = {
+            "<": diff < distance, "<=": diff <= distance,
+            "=": diff == distance, ">=": diff >= distance,
+            ">": diff > distance, "<>": diff != distance,
+        }
+        cond = (F.col("a.doc_id") == F.col("b.doc_id")) & ops[relation]
+        if not ordered:
+            cond = cond & (F.col("a.pos") != F.col("b.pos"))
+        return (
+            p1.join(p2, cond)
+            .select(F.col("a.doc_id").alias("doc_id"))
+            .distinct()
+        )
+
+    def phrase(self, terms: list[str]) -> DataFrame:
+        """Exact phrase = chained prox(ordered, '=', 1)
+        (/root/reference/index/rpnsearch.c:1584-1587 combines token
+        rsets with ordered distance-1 prox). Returns (doc_id, n_occ)."""
+        base = self.term_positions(terms[0]).alias("p0")
+        cond = None
+        joined = base
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = self.term_positions(t).alias(f"p{i}")
+            joined = joined.join(
+                nxt,
+                (F.col("p0.doc_id") == F.col(f"p{i}.doc_id"))
+                & (F.col(f"p{i}.pos") == F.col("p0.pos") + i),
+            )
+        return (
+            joined.groupBy(F.col("p0.doc_id").alias("doc_id"))
+            .agg(F.count("*").alias("n_occ"))
+        )
+
+    # -------------------------------------------------- truncation/regex
+
+    def dictionary(self) -> DataFrame:
+        return self.posting.groupBy("term").agg(
+            F.countDistinct("doc_id").alias("df"), F.count("*").alias("cf")
+        )
+
+    def expand_prefix(self, prefix: str) -> DataFrame:
+        """Right truncation ``term*`` — dict grep with exact prefix
+        (/root/reference/index/rpnsearch.c:1148-1254; prefix chars passed
+        to dict_lookup_grep as init_pos at :1269-1272). Returns terms."""
+        return self.dictionary().where(
+            F.col("term").startswith(prefix.lower())
+        ).select("term")
+
+    def expand_regex(self, pattern: str) -> DataFrame:
+        """Regexp-1 (attr 5=102) — dict regex grep
+        (/root/reference/index/rpnsearch.c:1186-1210) via rlike."""
+        return self.dictionary().where(
+            F.col("term").rlike(pattern)
+        ).select("term")
+
+    def expand_edit_distance(self, term: str, max_dist: int = 1) -> DataFrame:
+        """Approximate grep (Wu-Manber over the dict trie,
+        /root/reference/dict/lookupec.c) via levenshtein on the
+        dictionary."""
+        return self.dictionary().where(
+            F.levenshtein(F.col("term"), F.lit(term.lower())) <= max_dist
+        ).select("term")
+
+    def trunc_docs(self, terms: DataFrame) -> DataFrame:
+        """Combine postings of all matched terms, deduping the same doc
+        across lists — rset_trunc's dedup rule
+        (/root/reference/index/trunc.c:149,200: identical keys from
+        multiple lists collapse). Spark: semi-join + distinct; no
+        OR/heap-merge regime split needed (trunc.c:403-446) — Catalyst
+        handles arbitrary fan-in."""
+        return (
+            self.posting.join(F.broadcast(terms), "term", "semi")
+            .select("doc_id").distinct()
+        )
+
+    # ---------------------------------------------------- scan / facets
+
+    def scan(self, seed: str, n_after: int = 10, ord_filter=None) -> DataFrame:
+        """Dictionary browse from seed term — zebra_scan
+        (/root/reference/index/rpnscan.c:285-480)."""
+        d = self.dictionary().select("term", "df")
+        return (
+            d.where(F.col("term") >= seed.lower())
+            .orderBy(F.asc("term")).limit(n_after)
+        )
+
+    def facets(self, hits: DataFrame, facet_col: str, n: int = 10) -> DataFrame:
+        """Facet counts over a hit set — zebra::facet element sets
+        (/root/reference/index/retrieve.c:698-840)."""
+        src = self.corpus.select(
+            F.col(self.id_col).alias("doc_id"), F.col(facet_col)
+        )
+        return (
+            src.join(hits.select("doc_id"), "doc_id", "semi")
+            .groupBy(facet_col)
+            .agg(F.count("*").alias("count"))
+            .orderBy(F.desc("count"), F.asc(facet_col))
+            .limit(n)
+        )
+
+    # -------------------------------------------------------- snippets
+
+    def snippets(self, term: str, hits: DataFrame, window: int = 2) -> DataFrame:
+        """Hit-context windows — util/snippet.c ring buffer of context
+        words around each hit (/root/reference/util/snippet.c,
+        /root/reference/index/zsets.c:1340-1394). Returns the first
+        occurrence per doc with ±window tokens joined by spaces."""
+        from idzebra_spark.functions.tokenizer import tokenize_array
+
+        first_pos = (
+            self.term_positions(term)
+            .join(hits, "doc_id", "semi")
+            .groupBy("doc_id")
+            .agg(F.min("pos").alias("pos"))
+        )
+        toks = self.corpus.select(
+            F.col(self.id_col).alias("doc_id"),
+            tokenize_array(F.col(self.text_col)).alias("toks"),
+        )
+        start = F.greatest(F.col("pos") - window, F.lit(1))
+        length = F.least(
+            F.col("pos") + window, F.size(F.col("toks"))
+        ) - start + 1
+        return first_pos.join(toks, "doc_id").select(
+            "doc_id",
+            F.array_join(F.slice(F.col("toks"), start, length), " ").alias(
+                "snippet"
+            ),
+        )

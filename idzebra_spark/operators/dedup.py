@@ -1,0 +1,202 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash — the scale path for training-data pipelines.
+
+Cross-engine determinism: every hash is derived from md5 hex digits
+(``conv(substr(md5(x),1,15),16,10)`` in Spark ==
+``('0x'||substr(md5(x),1,15))::BIGINT`` in DuckDB), so the DuckDB
+oracles reproduce signatures bit-for-bit.
+
+Scale notes (100 TB): exact dedup is one hash-shuffle; MinHash/LSH is
+shingle-explode → per-doc signature agg → band-key shuffle → bounded
+candidate verification — no all-pairs stage ever materializes. The
+exact-Jaccard verifier only runs on LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from idzebra_spark.functions.tokenizer import tokenize_array
+
+N_HASHES = 16
+BAND_ROWS = 4  # 16 hashes → 4 bands of 4 rows
+
+
+def _hash64(col) -> F.Column:
+    """Deterministic 60-bit int from md5 hex (cross-engine stable)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content sha256 — one hash shuffle."""
+    return (
+        df.select(
+            F.sha2(F.col(text_col), 256).alias("sha256"),
+            F.col(id_col).alias("doc_id"),
+        )
+        .groupBy("sha256")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    toks = tokenize_array(F.col(text_col))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram Jaccard similar pairs via shared-shingle join.
+
+    (doc_a, doc_b, jacc_milli) with doc_a < doc_b, jaccard >= threshold.
+    Quadratic only within shingle groups — use minhash_lsh_pairs at
+    scale; this is the verifier/oracle-comparable form."""
+    sh = shingles(df, n, text_col, id_col).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"),
+              (F.col("a.shingle") == F.col("b.shingle"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_sh", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "sz_b"), "doc_b")
+        .withColumn(
+            "jacc",
+            F.col("n_inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        )
+        .where(F.col("jacc") >= threshold)
+    )
+    return j.select(
+        "doc_a", "doc_b",
+        F.round(F.col("jacc") * 10000, 0).cast("long").alias("jacc_milli"),
+    )
+
+
+def minhash_signatures(df: DataFrame, n_hashes: int = N_HASHES, n: int = 3,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, j, minhash) — j in 0..n_hashes-1; minhash_j =
+    min over shingles of hash64(j || ':' || shingle)."""
+    sh = shingles(df, n, text_col, id_col)
+    salted = sh.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+                lambda j: F.struct(
+                    j.alias("j"),
+                    _hash64(
+                        F.concat(j.cast("string"), F.lit(":"), F.col("shingle"))
+                    ).alias("h"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.j").alias("j"), F.col("s.h").alias("h"))
+    return salted.groupBy("doc_id", "j").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_pairs(df: DataFrame, n_hashes: int = N_HASHES,
+                      band_rows: int = BAND_ROWS, n: int = 3,
+                      threshold: float = 0.5, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, verified by exact Jaccard.
+
+    signature → bands of ``band_rows`` rows → band-key equality join
+    produces candidates → exact n-gram Jaccard filters ≥ threshold.
+    Only candidate pairs are verified (the 100 TB-safe shape)."""
+    sig = minhash_signatures(df, n_hashes, n, text_col, id_col)
+    bands = (
+        sig.withColumn("band", (F.col("j") / band_rows).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("j", "minhash"))
+                        ),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_key")
+        )
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.band_key") == F.col("b.band_key"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    exact = jaccard_pairs(df, n, threshold, text_col, id_col)
+    return cand.join(exact, ["doc_a", "doc_b"], "inner").select(
+        "doc_a", "doc_b", "jacc_milli"
+    )
+
+
+def simhash(df: DataFrame, n_bits: int = 32, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Tf-weighted SimHash over index tokens: bit k set iff
+    sum over terms of tf * sign(bit k of hash64(term)) > 0."""
+    toks = tokenize_array(F.col(text_col))
+    tf = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", _hash64(F.col("term")))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), k).bitwiseAND(1) == 1,
+                   F.col("tf")).otherwise(-F.col("tf"))
+        ).alias(f"b{k}")
+        for k in range(n_bits)
+    ]
+    agg = tf.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for k in range(n_bits):
+        bit = F.when(F.col(f"b{k}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, k)
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_dup_groups(df: DataFrame, n_bits: int = 32,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Docs sharing an identical simhash (near-dup buckets)."""
+    return (
+        simhash(df, n_bits, text_col, id_col)
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc"))
+        .where(F.col("n_docs") > 1)
+    )

@@ -80,6 +80,7 @@ NORMS_SCHEMA = T.StructType([
     T.StructField("shard", T.LongType()),
     T.StructField("n_docs", T.IntegerType()),
     T.StructField("min_dl", T.IntegerType()),
+    T.StructField("sum_dl", T.LongType()),
     T.StructField("docids_bin", T.BinaryType()),
     T.StructField("doclens_bin", T.BinaryType()),
 ])
@@ -161,7 +162,7 @@ def _build_norms(pdf: pd.DataFrame) -> pd.DataFrame:
     dl = pdf["doclen"].to_numpy(np.uint64)
     return pd.DataFrame(
         [(
-            int(pdf["shard"].iloc[0]), len(d), int(dl.min()),
+            int(pdf["shard"].iloc[0]), len(d), int(dl.min()), int(dl.sum()),
             delta_varint_encode(d), varint_encode(dl),
         )],
         columns=[f.name for f in NORMS_SCHEMA.fields],
@@ -191,12 +192,19 @@ def build_index(
     store_positions: bool = True,
     resume: bool = True,
     fail_after_shards: int | None = None,
+    reindex_shards: list[int] | None = None,
 ) -> dict:
     """Build (or resume) the segment index at ``path``.
 
     ``fail_after_shards`` is a test hook: restrict this batch to the
     first N pending shards, simulating a crash/partial build that a
     subsequent resume call must complete without double counting.
+
+    ``reindex_shards``: force-rebuild exactly these shards from the
+    given corpus snapshot (shard-granular copy-on-write — the update
+    path; readers resolve the latest build_seq per shard). A lineage
+    tombstone row (docs_indexed=0) is written even for shards whose
+    docs were all deleted, so the stale batch stops being visible.
     Returns build metrics for the batch.
     """
     lineage = read_lineage(spark, path)
@@ -211,7 +219,9 @@ def build_index(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     ).withColumn("shard", (F.col("doc_id") / shard_size).cast("long"))
 
-    if resume and done_shards is not None:
+    if reindex_shards is not None:
+        src = src.where(F.col("shard").isin(list(reindex_shards)))
+    elif resume and done_shards is not None:
         src = src.join(done_shards, "shard", "left_anti")
     if fail_after_shards is not None:
         keep = [
@@ -221,7 +231,7 @@ def build_index(
         ]
         src = src.where(F.col("shard").isin(keep))
 
-    if src.isEmpty():
+    if src.isEmpty() and not reindex_shards:
         return {"batch": None, "shards": 0, "docs": 0}
 
     src = src.cache()
@@ -311,9 +321,17 @@ def build_index(
             + F.sum(F.length("pos_bin"))
         ).alias("bytes_compressed"),
     )
+    doc_counts = meta.groupBy("shard").agg(F.count("*").alias("docs_indexed"))
+    if reindex_shards is not None:
+        # tombstones: every requested shard gets a lineage row, even if
+        # all of its docs were deleted — otherwise the stale batch
+        # would keep winning at read time
+        requested = spark.createDataFrame(
+            [(int(s),) for s in reindex_shards], "shard long"
+        )
+        doc_counts = requested.join(doc_counts, "shard", "left")
     lineage_rows = (
-        meta.groupBy("shard")
-        .agg(F.count("*").alias("docs_indexed"))
+        doc_counts
         .join(per_shard_blocks, "shard", "left")
         .na.fill(0)
         .withColumn("batch", F.lit(batch))
@@ -340,3 +358,67 @@ def build_index(
         "postings": out["postings"],
         "bytes": out["bytes"],
     }
+
+
+def update_index(
+    spark: SparkSession,
+    new_corpus: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_size: int = DEFAULT_SHARD_SIZE,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    store_positions: bool = True,
+) -> dict:
+    """Incrementally sync the index to a new corpus snapshot.
+
+    Zebra resolves updates per record: match → stored delete-keys +
+    new insert-keys, netted during merge
+    (/root/reference/index/extract.c:896-1100,
+    /root/reference/index/kinput.c:449-494). The Spark-scale
+    equivalent is shard-granular copy-on-write: diff the new snapshot
+    against the indexed doc_meta by (doc_id, sha256); every shard
+    containing an added/changed/deleted doc is rebuilt from the new
+    snapshot in one batch (readers pick the latest build_seq per
+    shard). Unchanged shards are untouched — no read, no write.
+    """
+    src = new_corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.sha2(F.col(text_col), 256).alias("sha256"),
+    ).withColumn("shard", (F.col("doc_id") / shard_size).cast("long"))
+
+    lineage = read_lineage(spark, path)
+    if lineage is None:
+        m = build_index(
+            spark, new_corpus, path, text_col=text_col, id_col=id_col,
+            shard_size=shard_size, block_size=block_size,
+            store_positions=store_positions,
+        )
+        m["changed_shards"] = m["shards"]
+        return m
+
+    w_latest = lineage.groupBy("shard").agg(F.max("build_seq").alias("build_seq"))
+    latest = lineage.join(w_latest, ["shard", "build_seq"]).select("shard", "batch")
+    old = (
+        spark.read.parquet(f"{path}/doc_meta")
+        .join(latest, ["shard", "batch"], "semi")
+        .select("doc_id", F.col("sha256").alias("old_sha"),
+                F.col("shard").alias("old_shard"))
+    )
+    diff = src.join(old, "doc_id", "full_outer")
+    changed = diff.where(
+        F.col("old_sha").isNull()                      # added
+        | F.col("sha256").isNull()                     # deleted
+        | (F.col("sha256") != F.col("old_sha"))        # modified
+    ).select(F.coalesce(F.col("shard"), F.col("old_shard")).alias("shard"))
+    shards = sorted(r["shard"] for r in changed.distinct().collect())
+    if not shards:
+        return {"batch": None, "shards": 0, "docs": 0, "changed_shards": 0}
+    m = build_index(
+        spark, new_corpus, path, text_col=text_col, id_col=id_col,
+        shard_size=shard_size, block_size=block_size,
+        store_positions=store_positions, reindex_shards=shards,
+    )
+    m["changed_shards"] = len(shards)
+    return m

@@ -1,0 +1,109 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+All pure JVM column expressions (whole-stage codegen; no Python in the
+hot path) so they run at 100 TB scan speed. Each has an exact DuckDB
+oracle twin in ``idzebra_spark.oracle_textops``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from idzebra_spark.functions.tokenizer import tokenize_array
+
+# tiny deterministic stopword lists (shared with the SQL oracles)
+STOPWORDS_EN = ["the", "and", "of", "to", "in", "is", "it", "for", "on", "with"]
+STOPWORDS_DE = ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"]
+STOPWORDS_FR = ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"]
+
+# BPE-ish subtoken pattern: letter runs, digit runs, single punct runs
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+
+
+def _stop_hits(toks: Column, stopwords: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(stopwords)))
+
+
+def token_stats(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens, n_index_tokens) — whitespace
+    split, BPE-ish regex subtokens, and the engine tokenizer count."""
+    t = F.col(text_col)
+    ws = F.filter(F.split(t, "\\s+"), lambda x: x != F.lit(""))
+    bpe = F.regexp_extract_all(F.lower(t), F.lit(BPE_RE), 0)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(ws).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(tokenize_array(t)).alias("n_index_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality: doc length, punctuation ratio, stopword
+    ratio, mean word length — milli-scaled ints for stable hashing."""
+    t = F.col(text_col)
+    toks = tokenize_array(t)
+    n_chars = F.length(t)
+    n_punct = n_chars - F.length(F.regexp_replace(t, "[^0-9a-zA-Z\\s]", ""))
+    n_toks = F.size(toks)
+    stop_r = F.when(
+        n_toks > 0, _stop_hits(toks, STOPWORDS_EN) / n_toks
+    ).otherwise(F.lit(0.0))
+    punct_r = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    mean_wl = F.when(
+        n_toks > 0,
+        F.aggregate(toks, F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.length(x)) / n_toks,
+    ).otherwise(F.lit(0.0))
+    # quality = stopword presence, low punctuation, sane word length
+    q = (
+        F.lit(0.5) * stop_r
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_r * 4, F.lit(1.0)))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(F.abs(mean_wl - 5) / 5, F.lit(1.0)))
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars_"),
+        F.round(punct_r * 10000, 0).cast("long").alias("punct_milli"),
+        F.round(stop_r * 10000, 0).cast("long").alias("stop_milli"),
+        F.round(q * 10000, 0).cast("long").alias("quality_milli"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language ID over {en,de,fr}; 'unk' when no
+    stopword hits. Ties break en > de > fr (fixed order)."""
+    toks = tokenize_array(F.col(text_col))
+    en = _stop_hits(toks, STOPWORDS_EN)
+    de = _stop_hits(toks, STOPWORDS_DE)
+    fr = _stop_hits(toks, STOPWORDS_FR)
+    best = F.greatest(en, de, fr)
+    lang = (
+        F.when(best == 0, F.lit("unk"))
+        .when(en == best, F.lit("en"))
+        .when(de == best, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        lang.alias("lang_pred"),
+        en.alias("en_hits"), de.alias("de_hits"), fr.alias("fr_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprint: md5 over the normalized token stream —
+    robust to whitespace/punctuation-only edits (the match-dict
+    identity idea, /root/reference/index/extract.c:927-1000, keyed on
+    normalized content instead of a user spec)."""
+    toks = tokenize_array(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.array_join(toks, " ")).alias("fp"),
+    )

@@ -195,13 +195,22 @@ class SegmentIndex:
         self.path = path
         lineage = spark.read.parquet(f"{path}/lineage")
         # latest committed batch per shard (update/reindex wins by seq)
-        w_latest = lineage.groupBy("shard").agg(F.max("build_seq").alias("build_seq"))
+        w_latest = lineage.groupBy("shard").agg(
+            F.max("build_seq").alias("build_seq"),
+            F.count("*").alias("n_versions"),
+        )
         self.shard_batch = (
             lineage.join(w_latest, ["shard", "build_seq"])
             .select("shard", "batch")
             .cache()
         )
         self._batches = [r["batch"] for r in self.shard_batch.select("batch").distinct().collect()]
+        # if any shard was reindexed, per-batch dictionary/stats
+        # partials contain stale contributions — derive from the
+        # shard-filtered tables instead
+        self._has_reindex = (
+            w_latest.where(F.col("n_versions") > 1).limit(1).count() > 0
+        )
         self.blocks = spark.read.parquet(f"{path}/blocks").join(
             F.broadcast(self.shard_batch), ["shard", "batch"], "semi"
         )
@@ -214,19 +223,27 @@ class SegmentIndex:
     # -------------------------------------------------------- metadata
 
     def stats(self) -> tuple[int, float]:
+        """(N, avgdl) — from per-shard norms rows (always shard-exact,
+        even after reindex; the batch-level stats partials are only a
+        fast path for the append-only case)."""
         if self._stats is None:
-            s = (
-                self.spark.read.parquet(f"{self.path}/stats")
-                .where(F.col("batch").isin(self._batches))
-                .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
-                .collect()[0]
-            )
+            s = self.norms.agg(
+                F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s")
+            ).collect()[0]
             self._stats = (int(s["n"]), float(s["s"]) / float(s["n"]))
         return self._stats
 
     def dictionary(self) -> DataFrame:
         """Global (term, df, cf, max_tf) — merged batch partials
-        (the kinput.c:709 heap-merge, as a groupBy)."""
+        (the kinput.c:709 heap-merge, as a groupBy). After a shard
+        reindex the partials are stale, so fall back to aggregating
+        block metadata (shard-filtered, no payload decode)."""
+        if self._has_reindex:
+            return self.blocks.groupBy("term").agg(
+                F.sum("n_docs").alias("df"),
+                F.sum("sum_tf").alias("cf"),
+                F.max("max_tf").alias("max_tf"),
+            )
         return (
             self.spark.read.parquet(f"{self.path}/dictionary")
             .where(F.col("batch").isin(self._batches))

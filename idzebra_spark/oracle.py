@@ -111,6 +111,134 @@ ORDER BY term ASC LIMIT {n_after}
 """
 
 
+def bool_not_sql(pos_term: str, neg_term: str, k: int = 100) -> str:
+    """AND-NOT — rsbool difference (/root/reference/rset/rsbool.c)."""
+    return f"""
+WITH {TOKS_CTE}
+SELECT DISTINCT doc_id FROM posting WHERE term = '{pos_term}'
+AND doc_id NOT IN (SELECT doc_id FROM posting WHERE term = '{neg_term}')
+ORDER BY doc_id ASC LIMIT {k}
+"""
+
+
+def prox_sql(t1: str, t2: str, distance: int, k: int = 100) -> str:
+    """Unordered proximity |pos2-pos1| <= distance — rsprox generic
+    path (/root/reference/rset/rsprox.c:215-297)."""
+    return f"""
+WITH {TOKS_CTE}
+SELECT DISTINCT a.doc_id AS doc_id
+FROM posting a JOIN posting b
+  ON a.doc_id = b.doc_id AND a.term = '{t1}' AND b.term = '{t2}'
+ AND abs(b.pos - a.pos) <= {distance} AND a.pos <> b.pos
+ORDER BY doc_id ASC LIMIT {k}
+"""
+
+
+def trunc_prefix_sql(prefix: str, k: int = 100) -> str:
+    """Right truncation: docs matching any term with the prefix,
+    deduped across expanded lists (/root/reference/index/trunc.c)."""
+    return f"""
+WITH {TOKS_CTE}
+SELECT DISTINCT doc_id FROM posting WHERE term LIKE '{prefix}%'
+ORDER BY doc_id ASC LIMIT {k}
+"""
+
+
+def regex_terms_sql(pattern: str, k: int = 100) -> str:
+    """Regexp term match over the dictionary (attr 5=102,
+    /root/reference/index/rpnsearch.c:1186-1210)."""
+    return f"""
+WITH {TOKS_CTE},
+d AS (SELECT term, count(DISTINCT doc_id) AS df FROM posting GROUP BY term)
+SELECT term, df FROM d WHERE regexp_matches(term, '{pattern}')
+ORDER BY term ASC LIMIT {k}
+"""
+
+
+def facet_sql(terms: list[str], facet_col: str, n: int = 10) -> str:
+    """Facet counts over an OR hit set
+    (/root/reference/index/retrieve.c:698-840)."""
+    return f"""
+WITH {TOKS_CTE},
+hits AS (
+  SELECT DISTINCT doc_id FROM posting WHERE term IN {_terms_in(terms)}
+)
+SELECT d.{facet_col} AS {facet_col}, count(*) AS count
+FROM documents d JOIN hits USING (doc_id)
+GROUP BY d.{facet_col}
+ORDER BY count DESC, {facet_col} ASC
+LIMIT {n}
+"""
+
+
+def snippet_sql(term: str, window: int = 2, k: int = 10) -> str:
+    """±window-token snippet around the first occurrence
+    (/root/reference/util/snippet.c)."""
+    return f"""
+WITH {TOKS_CTE},
+firstpos AS (
+  SELECT doc_id, min(pos) AS pos FROM posting
+  WHERE term = '{term}' GROUP BY doc_id
+)
+SELECT f.doc_id,
+       array_to_string(
+         t.arr[greatest(f.pos - {window}, 1):least(f.pos + {window}, len(t.arr))],
+         ' ') AS snippet
+FROM firstpos f JOIN toks t USING (doc_id)
+ORDER BY f.doc_id ASC LIMIT {k}
+"""
+
+
+def sort_by_field_sql(term: str, field: str, k: int = 10) -> str:
+    """Field sort of a hit set — resultSetSortSingle
+    (/root/reference/index/zsets.c:868-1073)."""
+    return f"""
+WITH {TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM posting WHERE term = '{term}')
+SELECT d.doc_id, d.{field} AS {field}
+FROM documents d JOIN hits USING (doc_id)
+ORDER BY d.{field} DESC, d.doc_id ASC
+LIMIT {k}
+"""
+
+
+_LOG2I = "CASE WHEN {x} <= 0 THEN 0 ELSE length(format('{{:b}}', CAST({x} AS BIGINT))) - 1 END"
+
+
+def rank1_sql(terms: list[str], k: int = 10, weight: int = 34) -> str:
+    """Zebra rank-1 integer formula
+    (/root/reference/index/rank1.c:192-218): per matched term
+    (8+log2i(tf))*(32-log2i(df))*w, normalized by
+    n_matched*(8+log2i(doclen/n_query_terms)), clamped at 1000."""
+    terms = sorted(set(t.lower() for t in terms))
+    nq = len(terms)
+    l2_tf = _LOG2I.format(x="tf.tf")
+    l2_df = _LOG2I.format(x="dft.df")
+    l2_dl = _LOG2I.format(x=f"doclen.doclen // {nq}")
+    return f"""
+WITH {TOKS_CTE},
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM posting WHERE term IN {_terms_in(terms)}
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum((8 + {l2_tf}) * (32 - {l2_df}) * {weight}) AS s,
+         count(*) AS nm,
+         any_value(doclen.doclen) AS dl
+  FROM tf JOIN dft USING (term) JOIN doclen USING (doc_id)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       least(1000, CAST(floor(s / (nm * (8 + {_LOG2I.format(x=f'dl // {nq}')}))) AS BIGINT)) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def phrase_sql(phrase_terms: list[str], k: int = 10) -> str:
     """Exact adjacent-phrase hit list (ordered, distance=1 — the
     rsprox relation==3/distance==1 fast path,

@@ -1,0 +1,228 @@
+"""DuckDB oracle SQL for the training-data-pipeline operators
+(text analysis, dedup, similarity) — exact twins of
+``operators/{textops,dedup,similarity}.py``.
+
+Hash parity: ``('0x' || substr(md5(x),1,15))::BIGINT`` here equals
+Spark's ``conv(substr(md5(x),1,15),16,10)::long``.
+"""
+
+from __future__ import annotations
+
+from idzebra_spark.operators.textops import (
+    STOPWORDS_DE,
+    STOPWORDS_EN,
+    STOPWORDS_FR,
+    BPE_RE,
+)
+
+_ARR = ("list_filter(regexp_split_to_array(lower(text), '[^0-9a-z]+'), "
+        "x -> x <> '')")
+
+
+def _inlist(words: list[str]) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def _stop_hits(arr: str, words: list[str]) -> str:
+    return f"len(list_filter({arr}, x -> x IN {_inlist(words)}))"
+
+
+_H64 = "CAST(('0x' || substring(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def token_stats_sql(limit: int = 200) -> str:
+    return f"""
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+    AS n_ws_tokens,
+  len(regexp_extract_all(lower(text), '{BPE_RE}')) AS n_bpe_tokens,
+  len({_ARR}) AS n_index_tokens
+FROM documents ORDER BY doc_id ASC LIMIT {limit}
+"""
+
+
+def quality_sql(limit: int = 200) -> str:
+    arr = _ARR
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    length(text) AS n_chars_,
+    length(text) - length(regexp_replace(text, '[^0-9a-zA-Z\\s]', '', 'g'))
+      AS n_punct,
+    {arr} AS arr
+  FROM documents
+), m AS (
+  SELECT doc_id, n_chars_,
+    CASE WHEN n_chars_ > 0 THEN n_punct / n_chars_ ELSE 0.0 END AS punct_r,
+    CASE WHEN len(arr) > 0
+         THEN {_stop_hits('arr', STOPWORDS_EN)} / len(arr) ELSE 0.0 END
+      AS stop_r,
+    CASE WHEN len(arr) > 0
+         THEN list_sum(list_transform(arr, x -> length(x))) / len(arr)
+         ELSE 0.0 END AS mean_wl
+  FROM base
+)
+SELECT doc_id, n_chars_,
+  CAST(round(punct_r * 10000) AS BIGINT) AS punct_milli,
+  CAST(round(stop_r * 10000) AS BIGINT) AS stop_milli,
+  CAST(round((0.5 * stop_r
+            + 0.3 * (1.0 - least(punct_r * 4, 1.0))
+            + 0.2 * (1.0 - least(abs(mean_wl - 5) / 5, 1.0))) * 10000)
+       AS BIGINT) AS quality_milli
+FROM m ORDER BY doc_id ASC LIMIT {limit}
+"""
+
+
+def lang_id_sql(limit: int = 200) -> str:
+    arr = _ARR
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+    {_stop_hits(arr, STOPWORDS_EN)} AS en_hits,
+    {_stop_hits(arr, STOPWORDS_DE)} AS de_hits,
+    {_stop_hits(arr, STOPWORDS_FR)} AS fr_hits
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN greatest(en_hits, de_hits, fr_hits) = 0 THEN 'unk'
+       WHEN en_hits = greatest(en_hits, de_hits, fr_hits) THEN 'en'
+       WHEN de_hits = greatest(en_hits, de_hits, fr_hits) THEN 'de'
+       ELSE 'fr' END AS lang_pred,
+  en_hits, de_hits, fr_hits
+FROM m ORDER BY doc_id ASC LIMIT {limit}
+"""
+
+
+def fingerprint_sql(limit: int = 200) -> str:
+    return f"""
+SELECT doc_id, md5(array_to_string({_ARR}, ' ')) AS fp
+FROM documents ORDER BY doc_id ASC LIMIT {limit}
+"""
+
+
+def dedup_exact_sql() -> str:
+    return """
+SELECT sha256(text) AS sha256, count(*) AS n_docs, min(doc_id) AS keep_doc
+FROM documents GROUP BY sha256(text) HAVING count(*) > 1
+ORDER BY sha256 ASC
+"""
+
+
+_SHINGLES = f"""
+sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, greatest(len(arr) - 2, 0) + 1),
+                          i -> array_to_string(arr[i:i+2], ' '))) AS shingle
+  FROM (SELECT doc_id, {_ARR} AS arr FROM documents)
+)
+"""
+
+_JACC = f"""
+{_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jacc AS (
+  SELECT doc_a, doc_b,
+    n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jacc
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+"""
+
+
+def jaccard_pairs_sql(threshold: float = 0.5, limit: int = 500) -> str:
+    return f"""
+WITH {_JACC}
+SELECT doc_a, doc_b, CAST(round(jacc * 10000) AS BIGINT) AS jacc_milli
+FROM jacc WHERE jacc >= {threshold}
+ORDER BY doc_a ASC, doc_b ASC LIMIT {limit}
+"""
+
+
+def minhash_lsh_pairs_sql(threshold: float = 0.5, n_hashes: int = 16,
+                          band_rows: int = 4, limit: int = 500) -> str:
+    h = _H64.format(x="j::VARCHAR || ':' || shingle")
+    return f"""
+WITH {_JACC},
+mh AS (
+  SELECT doc_id, j, min({h}) AS minhash
+  FROM sh CROSS JOIN (SELECT unnest(range(0, {n_hashes})) AS j)
+  GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, j // {band_rows} AS band,
+         md5(string_agg(minhash::VARCHAR, ',' ORDER BY j)) AS band_key
+  FROM mh GROUP BY doc_id, j // {band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b, CAST(round(j.jacc * 10000) AS BIGINT) AS jacc_milli
+FROM cand c JOIN jacc j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+WHERE j.jacc >= {threshold}
+ORDER BY c.doc_a ASC, c.doc_b ASC LIMIT {limit}
+"""
+
+
+def simhash_groups_sql(n_bits: int = 32) -> str:
+    h = _H64.format(x="term")
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {k}) & 1 = 1 THEN tf ELSE -tf END) AS b{k}"
+        for k in range(n_bits)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN b{k} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {k})"
+        for k in range(n_bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_ARR} AS arr FROM documents
+),
+tf AS (
+  SELECT doc_id, unnest(arr) AS term FROM toks
+),
+tfc AS (
+  SELECT doc_id, term, count(*) AS tf, {h} AS h
+  FROM tf GROUP BY doc_id, term
+),
+bits AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM tfc GROUP BY doc_id
+),
+sims AS (SELECT doc_id, {sim_expr} AS simhash FROM bits)
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_doc
+FROM sims GROUP BY simhash HAVING count(*) > 1
+ORDER BY simhash ASC
+"""
+
+
+def cosine_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    """Explicit dot/norm via parallel unnest (zips), double math —
+    mirrors the Spark fold exactly."""
+    return f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {query_vec_id}
+),
+parts AS (
+  SELECT e.vec_id,
+         unnest(e.embedding::DOUBLE[]) AS x,
+         unnest(q.qv) AS y
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> {query_vec_id}
+),
+sims AS (
+  SELECT vec_id,
+         sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim
+  FROM parts GROUP BY vec_id
+)
+SELECT vec_id, CAST(round(sim * 1000000) AS BIGINT) AS sim_micro
+FROM sims ORDER BY sim_micro DESC, vec_id ASC LIMIT {k}
+"""

@@ -1,0 +1,132 @@
+"""Tiny query language → DataFrame plan.
+
+The reference's query lifecycle (SURVEY.md §3.1) parses PQF into a
+Z_RPNQuery AST, then ``rpn_search_structure`` builds the rset DAG,
+flattening same-operator children into one n-ary node
+(/root/reference/index/rpnsearch.c:2567-2772, flatten condition at
+:2624-2642). Here: a recursive-descent parser over an infix language
+
+    expr   := and_e (OR and_e)*
+    and_e  := unary ((AND | NOT) unary)*
+    unary  := '(' expr ')' | '"' word+ '"' | word'*' | word
+
+producing an AST whose ``eval`` maps 1:1 onto PostingsOps — the same
+DAG shape, declared as DataFrame ops so Catalyst plans it.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from idzebra_spark.operators.boolean import PostingsOps
+
+_TOKEN_RE = re.compile(r'"[^"]*"|\(|\)|[^\s()"]+')
+
+
+@dataclass
+class Node:
+    op: str                      # term|prefix|phrase|and|or|not
+    value: str | None = None
+    children: list["Node"] = field(default_factory=list)
+
+    def flatten(self) -> "Node":
+        """Same-op flattening (rpnsearch.c:2624-2642)."""
+        if self.op in ("and", "or"):
+            kids: list[Node] = []
+            for c in (c.flatten() for c in self.children):
+                if c.op == self.op:
+                    kids.extend(c.children)
+                else:
+                    kids.append(c)
+            return Node(self.op, children=kids)
+        return Node(self.op, self.value, [c.flatten() for c in self.children])
+
+    def terms(self) -> list[str]:
+        """Positive leaf terms (for ranking)."""
+        if self.op == "term":
+            return [self.value]
+        if self.op == "phrase":
+            return self.value.split()
+        if self.op == "prefix":
+            return []
+        if self.op == "not":
+            return self.children[0].terms()
+        return [t for c in self.children for t in c.terms()]
+
+
+class Query:
+    def __init__(self, root: Node):
+        self.root = root.flatten()
+
+    def eval(self, ops: PostingsOps) -> DataFrame:
+        """Evaluate to a distinct doc_id set."""
+        return self._eval(self.root, ops)
+
+    def _eval(self, n: Node, ops: PostingsOps) -> DataFrame:
+        if n.op == "term":
+            return ops.term_docs(n.value)
+        if n.op == "prefix":
+            return ops.trunc_docs(ops.expand_prefix(n.value))
+        if n.op == "phrase":
+            return ops.phrase(n.value.split()).select("doc_id")
+        kids = [self._eval(c, ops) for c in n.children]
+        if n.op == "and":
+            return ops.and_(kids)
+        if n.op == "or":
+            return ops.or_(kids)
+        if n.op == "not":
+            return ops.not_(kids[0], kids[1])
+        raise ValueError(f"unknown node {n.op}")
+
+
+class _Parser:
+    def __init__(self, tokens: list[str]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def parse_expr(self) -> Node:
+        left = self.parse_and()
+        while self.peek() == "OR":
+            self.next()
+            left = Node("or", children=[left, self.parse_and()])
+        return left
+
+    def parse_and(self) -> Node:
+        left = self.parse_unary()
+        while self.peek() in ("AND", "NOT"):
+            op = self.next()
+            right = self.parse_unary()
+            left = Node("and" if op == "AND" else "not",
+                        children=[left, right])
+        return left
+
+    def parse_unary(self) -> Node:
+        t = self.next()
+        if t == "(":
+            e = self.parse_expr()
+            assert self.next() == ")", "unbalanced parens"
+            return e
+        if t.startswith('"'):
+            return Node("phrase", t.strip('"').lower())
+        if t.endswith("*"):
+            return Node("prefix", t[:-1].lower())
+        return Node("term", t.lower())
+
+
+def parse(query: str) -> Query:
+    toks = _TOKEN_RE.findall(query)
+    p = _Parser(toks)
+    root = p.parse_expr()
+    assert p.peek() is None, f"trailing tokens at {p.i}"
+    return Query(root)

@@ -1,0 +1,97 @@
+"""Incremental ingest over Structured Streaming.
+
+Zebra's incremental story is `zebraidx update` against a record
+directory, with every record persisted in the record store
+(/root/reference/index/records.c — ``rec_put`` keeps the raw record so
+later updates can diff/delete) and the shadow-commit cycle making each
+run atomic (SURVEY.md §3.2).
+
+Spark-native equivalent:
+- a file-source stream over the corpus directory; each micro-batch is
+  appended to a **doc_store** mirror (doc_id, text, ingest_seq) — the
+  record store. A row with NULL text is an explicit delete tombstone.
+- the current corpus snapshot = latest ingest_seq per doc_id, minus
+  tombstones; ``update_index`` diffs it against the index's doc_meta
+  and rebuilds only the affected shards (copy-on-write).
+- the streaming checkpoint makes source-offset tracking crash-safe;
+  the lineage table makes each fold an atomic, resumable commit.
+
+Partial batches therefore never imply deletions, and a shard rebuild
+always sees the full shard content via the mirror.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from idzebra_spark.operators.segment import update_index
+
+DOCS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def doc_store_snapshot(spark: SparkSession, index_path: str) -> DataFrame:
+    """Latest version of every non-deleted doc in the mirror."""
+    store = spark.read.parquet(f"{index_path}/doc_store")
+    latest = store.groupBy("doc_id").agg(F.max("ingest_seq").alias("ingest_seq"))
+    return (
+        store.join(latest, ["doc_id", "ingest_seq"])
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+
+
+def fold_batch(batch_df: DataFrame, batch_id: int, index_path: str,
+               shard_size: int = 512, block_size: int = 128) -> None:
+    """foreachBatch body: mirror the batch, then sync the index to the
+    mirror's new snapshot."""
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    (
+        batch_df.withColumn("ingest_seq", F.lit(int(batch_id)))
+        .write.mode("append").parquet(f"{index_path}/doc_store")
+    )
+    snapshot = doc_store_snapshot(spark, index_path)
+    update_index(
+        spark, snapshot, index_path,
+        shard_size=shard_size, block_size=block_size,
+    )
+
+
+def stream_build(
+    spark: SparkSession,
+    input_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    *,
+    schema: T.StructType = DOCS_SCHEMA,
+    shard_size: int = 512,
+    block_size: int = 128,
+    available_now: bool = True,
+):
+    """Start (and, with available_now, drain) a streaming index build
+    over parquet files arriving in ``input_dir``."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: fold_batch(df, bid, index_path,
+                                       shard_size, block_size)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence (BASELINE.json north rule): run the
+same index-build + query job at two parallelism levels (local[N] vs
+local[4N]) on identical input and report throughput at both plus
+efficiency = throughput_4N / (4 * throughput_N).
+
+A real cluster isn't available in this sandbox; two local parallelism
+levels on one JVM-per-run are the sanctioned stand-in (driver brief).
+Each level runs in its own subprocess → fresh JVM, no warm-cache bleed.
+
+Usage:
+  python scripts/scaling_bench.py [--n 8] [--docs 100000] [--out BENCH]
+  python scripts/scaling_bench.py --worker <cores> <docs>   (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+QUERIES = [
+    (["merge_block", "sort_entry"], "or"),
+    (["int", "return"], "and"),          # ubiquitous-term AND (skew)
+    (["parse_buffer"], "or"),
+    (["open_block", "key_list"], "or"),
+    (["static", "void", "hash_ptr"], "and"),
+]
+
+
+def worker(cores: int, n_docs: int) -> None:
+    import shutil
+    import tempfile
+
+    from idzebra_spark.session import get_spark
+    from idzebra_spark.operators.segment import build_index
+    from idzebra_spark.operators.wand import SegmentIndex
+    from idzebra_spark.sources.corpus import synth_source_files
+
+    spark = get_spark(f"scaling-{cores}", master=f"local[{cores}]",
+                      shuffle_partitions=max(cores * 2, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = synth_source_files(spark, n_docs).select("doc_id", "content")
+    corpus = corpus.repartition(cores * 2).cache()
+    corpus.count()  # materialize source outside the timed window
+
+    path = tempfile.mkdtemp(prefix=f"scal{cores}_") + "/idx"
+    t0 = time.perf_counter()
+    m = build_index(spark, corpus, path, text_col="content",
+                    shard_size=2048, block_size=128,
+                    store_positions=False)
+    build_sec = time.perf_counter() - t0
+
+    idx = SegmentIndex(spark, path)
+    idx.stats()
+    t0 = time.perf_counter()
+    for terms, mode in QUERIES:
+        idx.topk(terms, 10, mode).collect()
+    query_sec = time.perf_counter() - t0
+
+    shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    print("RESULT " + json.dumps({
+        "cores": cores,
+        "docs": n_docs,
+        "build_sec": round(build_sec, 3),
+        "docs_per_sec": round(n_docs / build_sec, 2),
+        "postings": int(m["postings"]),
+        "postings_per_sec": round(float(m["postings"]) / build_sec, 2),
+        "query_sec_total": round(query_sec, 3),
+        "queries_per_sec": round(len(QUERIES) / query_sec, 3),
+    }))
+
+
+def run_level(cores: int, n_docs: int) -> dict:
+    env = dict(os.environ)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--worker",
+         str(cores), str(n_docs)],
+        capture_output=True, text=True, env=env, timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"worker {cores} failed:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
+
+
+def main() -> None:
+    if "--worker" in sys.argv:
+        i = sys.argv.index("--worker")
+        worker(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
+        return
+    n = 8
+    docs = 100_000
+    if "--n" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--n") + 1])
+    if "--docs" in sys.argv:
+        docs = int(sys.argv[sys.argv.index("--docs") + 1])
+
+    lo = run_level(n, docs)
+    hi = run_level(4 * n, docs)
+    eff_build = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
+    eff_query = hi["queries_per_sec"] / (4 * lo["queries_per_sec"])
+    report = {
+        "low": lo, "high": hi,
+        "scaling_efficiency_build": round(eff_build, 3),
+        "scaling_efficiency_query": round(eff_query, 3),
+    }
+    print(json.dumps(report, indent=2))
+
+    md = f"""# BENCH — scaling evidence (N vs 4N parallelism)
+
+Same job (synthetic source_files corpus, {docs:,} docs, Zipf-skewed
+vocabulary with ubiquitous `int`/`return`), identical input, two
+parallelism levels, fresh JVM each (subprocess isolation). This is the
+sandbox stand-in for the north rule's N→4N executor scaling.
+
+| level | cores | build sec | docs/s | postings/s | query batch sec | q/s |
+|---|---|---|---|---|---|---|
+| N  | {lo['cores']} | {lo['build_sec']} | {lo['docs_per_sec']} | {lo['postings_per_sec']} | {lo['query_sec_total']} | {lo['queries_per_sec']} |
+| 4N | {hi['cores']} | {hi['build_sec']} | {hi['docs_per_sec']} | {hi['postings_per_sec']} | {hi['query_sec_total']} | {hi['queries_per_sec']} |
+
+- **build scaling efficiency (docs/s): {eff_build:.3f}**
+- query scaling efficiency (q/s): {eff_query:.3f}
+- postings emitted: {lo['postings']:,} (identical at both levels: {lo['postings'] == hi['postings']})
+
+Note: single-machine strong scaling shares memory bandwidth and the
+parquet-write filesystem across all cores, so this under-reports what
+separate 4N executors with independent I/O would achieve.
+"""
+    out_dir = os.path.join(REPO, "BENCH")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "BASELINE.md"), "w") as f:
+        f.write(md)
+    with open(os.path.join(out_dir, "scaling.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"wrote {out_dir}/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()

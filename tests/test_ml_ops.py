@@ -1,0 +1,80 @@
+"""ANN recall vs brute-force, multimodal plumbing, query parser."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _qv(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    row = emb.where(F.col("vec_id") == 0).collect()[0]
+    return emb, [float(x) for x in row["embedding"]]
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    from idzebra_spark.operators.similarity import cosine_topk, lsh_topk
+
+    emb, qv = _qv(spark, sf_dir)
+    exact = {r.vec_id for r in cosine_topk(emb, qv, 10, exclude_id=0).collect()}
+    approx = {r.vec_id for r in
+              lsh_topk(emb, qv, 10, n_planes=4, exclude_id=0).collect()}
+    # 4 planes → 16 buckets over 500 vecs; neighbors share sign bits
+    assert len(exact & approx) >= 3
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from idzebra_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb, qv = _qv(spark, sf_dir)
+    exact = {r.vec_id for r in cosine_topk(emb, qv, 10, exclude_id=0).collect()}
+    approx = {r.vec_id for r in
+              ivf_topk(emb, qv, 10, n_probe=3, exclude_id=0).collect()}
+    assert len(exact & approx) >= 3
+
+
+def test_ann_results_subset_of_corpus(spark, sf_dir):
+    from idzebra_spark.operators.similarity import ivf_topk
+
+    emb, qv = _qv(spark, sf_dir)
+    got = ivf_topk(emb, qv, 10, n_probe=2, exclude_id=0)
+    assert got.count() == 10
+    assert got.where(F.col("vec_id") == 0).count() == 0
+
+
+def test_multimodal_feature_plumbing(spark):
+    from idzebra_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        frame_sample,
+        synth_media,
+    )
+
+    media = synth_media(spark, 50)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows[:5]:
+        assert len(r.features) == FEATURE_DIM
+        assert all(0.0 <= x < 1.0 for x in r.features)
+        assert r.n_bytes > 0
+    # determinism: same payload → same features
+    again = {r.media_id: r.features for r in extract_features(media).collect()}
+    assert all(again[r.media_id] == r.features for r in rows)
+
+    fs = frame_sample(media, every_ms=250)
+    per_vid = fs.groupBy("media_id").count().collect()
+    assert all(r["count"] == 4 for r in per_vid)  # 1000ms / 250ms
+
+
+def test_query_parser_shapes():
+    from idzebra_spark.plans.query import parse
+
+    q = parse('(a OR b OR c) AND d NOT "x y"')
+    r = q.root
+    assert r.op == "not"
+    assert r.children[0].op == "and"
+    ors = r.children[0].children[0]
+    assert ors.op == "or" and len(ors.children) == 3  # flattened n-ary
+    assert r.children[1].op == "phrase" and r.children[1].value == "x y"
+    # positive terms only: the NOT branch is excluded from ranking
+    assert sorted(q.root.terms()) == ["a", "b", "c", "d"]
