@@ -352,6 +352,103 @@ def q_sim_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, qv, k=10, n_probe=2, exclude_id=0)
 
 
+def q_scan_around(spark, sf_dir):
+    o = _ops(spark, sf_dir)
+    return o.scan("merge", n_after=7, n_before=5)
+
+
+_SCAN_AROUND_SQL = f"""
+WITH {oracle.TOKS_CTE},
+d AS (SELECT term, count(DISTINCT doc_id) AS df FROM posting GROUP BY term),
+be4 AS (SELECT term, df FROM d WHERE term < 'merge' ORDER BY term DESC LIMIT 5),
+aft AS (SELECT term, df FROM d WHERE term >= 'merge' ORDER BY term ASC LIMIT 7)
+SELECT term, df FROM (SELECT * FROM be4 UNION ALL SELECT * FROM aft)
+ORDER BY term ASC
+"""
+
+
+def q_edit_distance(spark, sf_dir):
+    o = _ops(spark, sf_dir)
+    return (
+        o.dictionary()
+        .where(F.levenshtein(F.col("term"), F.lit("mergf")) <= 1)
+        .select("term", "df").orderBy(F.asc("term")).limit(50)
+    )
+
+
+_EDIT_DIST_SQL = f"""
+WITH {oracle.TOKS_CTE},
+d AS (SELECT term, count(DISTINCT doc_id) AS df FROM posting GROUP BY term)
+SELECT term, df FROM d WHERE levenshtein(term, 'mergf') <= 1
+ORDER BY term ASC LIMIT 50
+"""
+
+
+def q_numeric_relation(spark, sf_dir):
+    """Numeric range over a typed column — Zebra's numeric index type
+    (/root/reference/index/rpnsearch.c:1731-1828) is just a range
+    predicate in SQL."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.where((F.col("value") >= 50) & (F.col("value") <= 100))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value") * 100, 0).cast("long").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_NUMERIC_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_cents
+FROM events WHERE value >= 50 AND value <= 100
+GROUP BY event_type ORDER BY event_type ASC
+"""
+
+
+def q_date_relation(spark, sf_dir):
+    """Date/year index types (tab/default.idx:40-52) — typed timestamp
+    predicates + hourly rollup (epoch-hour ints for stable hashing)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.where(F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp"))
+        .groupBy(
+            (F.unix_timestamp("ts") / 3600).cast("long").alias("epoch_hour")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("epoch_hour")
+    )
+
+
+_DATE_SQL = """
+SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS epoch_hour, count(*) AS n
+FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+GROUP BY epoch_hour ORDER BY epoch_hour ASC
+"""
+
+
+def q_resultset_reuse(spark, sf_dir):
+    """Named result-set reference: store hits of one query, AND a new
+    term against the stored set (rpnsearch.c:2743-2755)."""
+    o = _ops(spark, sf_dir)
+    base = o.store_set("s1", o.or_([o.term_docs("merge"), o.term_docs("sort")]))
+    return (
+        o.and_([o.get_set("s1"), o.term_docs("scan")])
+        .orderBy(F.asc("doc_id")).limit(100)
+    )
+
+
+_RESULTSET_SQL = f"""
+WITH {oracle.TOKS_CTE},
+s1 AS (SELECT DISTINCT doc_id FROM posting WHERE term IN ('merge','sort')),
+s2 AS (SELECT DISTINCT doc_id FROM posting WHERE term = 'scan')
+SELECT doc_id FROM s1 INTERSECT SELECT doc_id FROM s2
+ORDER BY doc_id ASC LIMIT 100
+"""
+
+
 from idzebra_spark import oracle_ml  # noqa: E402
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -378,6 +475,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sort_by_field": (q_sort_by_field, oracle.sort_by_field_sql("merge", "n_chars", 10)),
     "rank1": (q_rank1, oracle.rank1_sql(["merge", "sort"], 10)),
     "parsed_bool": (q_parsed_bool, _PARSED_BOOL_SQL),
+    "scan_around": (q_scan_around, _SCAN_AROUND_SQL),
+    "edit_distance": (q_edit_distance, _EDIT_DIST_SQL),
+    "numeric_relation": (q_numeric_relation, _NUMERIC_SQL),
+    "date_relation": (q_date_relation, _DATE_SQL),
+    "resultset_reuse": (q_resultset_reuse, _RESULTSET_SQL),
     "bm25_single": (q_bm25_single, oracle.bm25_topk_sql(["merge"], 10, "or")),
     "bm25_or": (q_bm25_or, oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
     "bm25_and": (q_bm25_and, oracle.bm25_topk_sql(["spark", "query"], 10, "and")),

@@ -18,12 +18,14 @@ import numpy as np
 _MAX_VARINT_BYTES = 10  # ceil(64/7)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array. Vectorized: loops over byte slots."""
+def varint_encode_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array; also return the byte offset of
+    each value (length n+1) so callers can slice per-block payloads out
+    of one encode call. Vectorized: loops over byte slots only."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = v.size
     if n == 0:
-        return b""
+        return b"", np.zeros(1, dtype=np.int64)
     # bytes needed per value: max(1, ceil(bitlen/7))
     nbits = np.zeros(n, dtype=np.int64)
     tmp = v.copy()
@@ -51,7 +53,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         out[pos[idx]] = chunk
         pos[idx] += 1
         active[idx] = more
-    return out.tobytes()
+    return out.tobytes(), offsets
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array (see varint_encode_offsets)."""
+    return varint_encode_offsets(values)[0]
 
 
 def varint_decode(buf: bytes) -> np.ndarray:

@@ -163,14 +163,28 @@ class PostingsOps:
 
     # ---------------------------------------------------- scan / facets
 
-    def scan(self, seed: str, n_after: int = 10, ord_filter=None) -> DataFrame:
-        """Dictionary browse from seed term — zebra_scan
-        (/root/reference/index/rpnscan.c:285-480)."""
-        d = self.dictionary().select("term", "df")
-        return (
+    def scan(self, seed: str, n_after: int = 10, n_before: int = 0,
+             limit_set: DataFrame | None = None) -> DataFrame:
+        """Dictionary browse around a seed term — zebra_scan
+        (/root/reference/index/rpnscan.c:285-480): ``n_before`` terms
+        strictly below the seed plus ``n_after`` from the seed up,
+        alphabetical, with per-term df; optionally restricted to a
+        limiting result set (scan_save_set, rpnscan.c:200-283)."""
+        d = self.posting
+        if limit_set is not None:
+            d = d.join(limit_set.select("doc_id"), "doc_id", "semi")
+        d = d.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+        after = (
             d.where(F.col("term") >= seed.lower())
             .orderBy(F.asc("term")).limit(n_after)
         )
+        if n_before <= 0:
+            return after
+        before = (
+            d.where(F.col("term") < seed.lower())
+            .orderBy(F.desc("term")).limit(n_before)
+        )
+        return before.unionByName(after).orderBy(F.asc("term"))
 
     def facets(self, hits: DataFrame, facet_col: str, n: int = 10) -> DataFrame:
         """Facet counts over a hit set — zebra::facet element sets
@@ -185,6 +199,21 @@ class PostingsOps:
             .orderBy(F.desc("count"), F.asc(facet_col))
             .limit(n)
         )
+
+    # ------------------------------------------------- result-set refs
+
+    def store_set(self, name: str, hits: DataFrame) -> DataFrame:
+        """Named result sets — an operand can reference a prior set
+        (Z_Operand_resultSetId, /root/reference/index/rpnsearch.c:2743-2755).
+        Cached so later queries reuse the materialized plan (rstemp,
+        /root/reference/rset/rstemp.c)."""
+        if not hasattr(self, "_sets"):
+            self._sets = {}
+        self._sets[name] = hits.cache()
+        return self._sets[name]
+
+    def get_set(self, name: str) -> DataFrame:
+        return self._sets[name]
 
     # -------------------------------------------------------- snippets
 

@@ -50,14 +50,21 @@ On-disk layout (all parquet, under ``path/``):
 
 from __future__ import annotations
 
+import os
+import time
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from idzebra_spark.functions.codec import delta_varint_encode, varint_encode
-from idzebra_spark.functions.tokenizer import doc_lengths, tokenize
+from idzebra_spark.functions.codec import (
+    delta_varint_encode,
+    varint_encode,
+    varint_encode_offsets,
+)
+from idzebra_spark.functions.tokenizer import tokenize, tokenize_array
 
 DEFAULT_SHARD_SIZE = 4096
 DEFAULT_BLOCK_SIZE = 128
@@ -87,11 +94,13 @@ NORMS_SCHEMA = T.StructType([
 
 
 def _build_shard_blocks(block_size: int, store_positions: bool):
-    """Kernel: all posting blocks for one shard, fully vectorized.
+    """Kernel: encode all posting blocks for one shard.
 
-    Input pdf: (shard, doc_id, term, pos). The per-(term,doc) grouping,
-    tf counting, block chunking and codec calls are numpy — no per-row
-    Python (BASELINE input_hint mandate)."""
+    Input pdf is PRE-AGGREGATED in the JVM: one row per posting
+    ``(shard, term, doc_id, tf[, positions])`` — the tf groupBy runs
+    with map-side combine and whole-stage codegen, so the Arrow
+    boundary moves ~avgtf× fewer rows and Python only does block
+    chunking + codec calls (vectorized numpy, no per-row Python)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
@@ -99,56 +108,76 @@ def _build_shard_blocks(block_size: int, store_positions: bool):
         shard = int(pdf["shard"].iloc[0])
         codes, uniques = pd.factorize(pdf["term"], sort=True)
         doc = pdf["doc_id"].to_numpy(np.int64)
-        pos = pdf["pos"].to_numpy(np.int64)
-        order = np.lexsort((pos, doc, codes))
-        codes, doc, pos = codes[order], doc[order], pos[order]
+        tf = pdf["tf"].to_numpy(np.int64)
+        order = np.lexsort((doc, codes))
+        codes, doc, tf = codes[order], doc[order], tf[order]
+        n = len(codes)
 
-        # (term, doc) run boundaries → tf per posting
-        new_run = np.empty(len(doc), dtype=bool)
-        new_run[0] = True
-        np.logical_or(codes[1:] != codes[:-1], doc[1:] != doc[:-1], out=new_run[1:])
-        run_starts = np.nonzero(new_run)[0]
-        run_ends = np.append(run_starts[1:], len(doc))
-        tf = (run_ends - run_starts).astype(np.int64)
-        run_doc = doc[run_starts]
-        run_code = codes[run_starts]
-
-        # per-term slices over the run arrays
-        term_change = np.empty(len(run_code), dtype=bool)
+        # position within each term's posting run
+        term_change = np.empty(n, dtype=bool)
         term_change[0] = True
-        term_change[1:] = run_code[1:] != run_code[:-1]
-        term_starts = np.nonzero(term_change)[0]
-        term_ends = np.append(term_starts[1:], len(run_code))
-
-        # positions with per-run delta reset (decode via tf counts)
-        if store_positions:
-            pos_delta = np.empty(len(pos), dtype=np.uint64)
-            pos_delta[1:] = (pos[1:] - pos[:-1]).astype(np.uint64)
-            pos_delta[run_starts] = pos[run_starts].astype(np.uint64)
-
-        rows = []
-        for ti in range(len(term_starts)):
-            s, e = term_starts[ti], term_ends[ti]
-            term = uniques[run_code[s]]
-            for bi, bs in enumerate(range(s, e, block_size)):
-                be = min(bs + block_size, e)
-                d = run_doc[bs:be]
-                t = tf[bs:be]
-                if store_positions:
-                    lo, hi = run_starts[bs], run_ends[be - 1]
-                    pbin = varint_encode(pos_delta[lo:hi])
-                else:
-                    pbin = b""
-                rows.append((
-                    term, shard, bi, int(be - bs), int(d[0]), int(d[-1]),
-                    int(t.max()), int(t.sum()),
-                    delta_varint_encode(d.astype(np.uint64)),
-                    varint_encode(t.astype(np.uint64)),
-                    pbin,
-                ))
-        return pd.DataFrame(
-            rows, columns=[f.name for f in BLOCK_SCHEMA.fields]
+        term_change[1:] = codes[1:] != codes[:-1]
+        term_starts_all = np.nonzero(term_change)[0]
+        idx_in_term = np.arange(n, dtype=np.int64) - np.repeat(
+            term_starts_all, np.diff(np.append(term_starts_all, n))
         )
+        # block boundaries: every block_size postings within a term
+        # (a block never crosses a term: idx resets to 0 at term start)
+        is_bs = (idx_in_term % block_size) == 0
+        bs_idx = np.nonzero(is_bs)[0]
+        be_idx = np.append(bs_idx[1:], n)
+
+        # block metadata, all reduceat/fancy-indexed — no per-block math
+        n_docs = (be_idx - bs_idx).astype(np.int32)
+        first = doc[bs_idx]
+        last = doc[be_idx - 1]
+        max_tf = np.maximum.reduceat(tf, bs_idx).astype(np.int32)
+        sum_tf = np.add.reduceat(tf, bs_idx)
+        block_seq = (idx_in_term[bs_idx] // block_size).astype(np.int32)
+        terms = np.asarray(uniques, dtype=object)[codes[bs_idx]]
+
+        # payloads: ONE varint encode per column for the whole shard,
+        # then per-block byte slicing via the value offsets
+        dd = np.empty(n, dtype=np.uint64)
+        dd[1:] = (doc[1:] - doc[:-1]).astype(np.uint64)
+        dd[bs_idx] = doc[bs_idx].astype(np.uint64)  # reset per block
+        dbuf, doff = varint_encode_offsets(dd)
+        tbuf, toff = varint_encode_offsets(tf.astype(np.uint64))
+        docids_bin = [dbuf[doff[s]:doff[e]] for s, e in zip(bs_idx, be_idx)]
+        tfs_bin = [tbuf[toff[s]:toff[e]] for s, e in zip(bs_idx, be_idx)]
+
+        if store_positions:
+            pos_lists = pdf["positions"].to_numpy()[order]
+            p = np.concatenate([np.asarray(x, dtype=np.int64)
+                                for x in pos_lists]) if n else np.empty(0, np.int64)
+            tok_start = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(tf, out=tok_start[1:])
+            pdelta = np.empty(p.size, dtype=np.uint64)
+            if p.size:
+                pdelta[1:] = (p[1:] - p[:-1]).astype(np.uint64)
+                starts = tok_start[:-1]
+                pdelta[starts] = p[starts].astype(np.uint64)  # reset per doc
+            pbuf, poff = varint_encode_offsets(pdelta)
+            pos_bin = [
+                pbuf[poff[tok_start[s]]:poff[tok_start[e]]]
+                for s, e in zip(bs_idx, be_idx)
+            ]
+        else:
+            pos_bin = [b""] * len(bs_idx)
+
+        return pd.DataFrame({
+            "term": terms,
+            "shard": np.full(len(bs_idx), shard, dtype=np.int64),
+            "block_seq": block_seq,
+            "n_docs": n_docs,
+            "first_docid": first,
+            "last_docid": last,
+            "max_tf": max_tf,
+            "sum_tf": sum_tf,
+            "docids_bin": docids_bin,
+            "tfs_bin": tfs_bin,
+            "pos_bin": pos_bin,
+        })
 
     return fn
 
@@ -234,20 +263,29 @@ def build_index(
     if src.isEmpty() and not reindex_shards:
         return {"batch": None, "shards": 0, "docs": 0}
 
-    src = src.cache()
+    verbose = os.environ.get("IDZEBRA_BUILD_VERBOSE") == "1"
+    _t = time.perf_counter()
 
-    # doc_meta: per-row sha256 invariant + doclen
-    meta = (
-        src.select(
-            "shard", "doc_id",
-            F.sha2(F.col("text"), 256).alias("sha256"),
-        )
-        .join(doc_lengths(src), "doc_id")
-        .select("shard", "doc_id", "doclen", "sha256")
+    def tick(stage: str) -> None:
+        nonlocal _t
+        if verbose:
+            now = time.perf_counter()
+            print(f"[build {batch}] {stage}: {now - _t:.2f}s", flush=True)
+            _t = now
+
+    src = src.cache()
+    tick("plan")
+
+    # doc_meta: per-row sha256 invariant + doclen — ONE scan, no join
+    meta = src.select(
+        "shard", "doc_id",
+        F.size(tokenize_array(F.col("text"))).alias("doclen"),
+        F.sha2(F.col("text"), 256).alias("sha256"),
     )
     meta.withColumn("batch", F.lit(batch)).write.mode("append").partitionBy(
         "batch"
     ).parquet(f"{path}/doc_meta")
+    tick("doc_meta")
 
     # norms per shard
     norms = (
@@ -258,14 +296,23 @@ def build_index(
     norms.withColumn("batch", F.lit(batch)).write.mode("append").partitionBy(
         "batch"
     ).parquet(f"{path}/norms")
+    tick("norms")
 
-    # posting blocks: ONE balanced shuffle (by shard), then a single
-    # vectorized kernel per shard. Written range-partitioned+sorted by
-    # term so query-term predicates prune files via parquet stats.
+    # posting blocks. Stage 1 (JVM, codegen + map-side combine):
+    # tokens → (shard, term, doc_id, tf[, positions]) — the partial
+    # aggregation shrinks the shuffle by ~avg-tf and keeps the heavy
+    # lifting out of Python. Stage 2: balanced regroup by shard, one
+    # vectorized encode kernel per shard. Written range-partitioned +
+    # sorted by term so query-term predicates prune files via parquet
+    # min/max stats.
     toks = tokenize(src, "text", "doc_id").withColumn(
         "shard", (F.col("doc_id") / shard_size).cast("long")
     )
-    blocks = toks.groupBy("shard").applyInPandas(
+    aggs = [F.count("*").alias("tf")]
+    if store_positions:
+        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+    tf_rows = toks.groupBy("shard", "term", "doc_id").agg(*aggs)
+    blocks = tf_rows.groupBy("shard").applyInPandas(
         _build_shard_blocks(block_size, store_positions), BLOCK_SCHEMA
     )
     (
@@ -276,10 +323,20 @@ def build_index(
         .partitionBy("batch")
         .parquet(f"{path}/blocks")
     )
+    tick("blocks")
 
     # read back what was written: validates readability and gives true
-    # byte accounting for lineage metrics.
-    written = spark.read.parquet(f"{path}/blocks").where(F.col("batch") == batch)
+    # byte accounting for lineage metrics. Cached — three aggregations
+    # (dictionary, per-shard metrics, totals) share one scan.
+    written = (
+        spark.read.parquet(f"{path}/blocks")
+        .where(F.col("batch") == batch)
+        .select("term", "shard", "n_docs", "sum_tf", "max_tf",
+                F.length("docids_bin").alias("len_d"),
+                F.length("tfs_bin").alias("len_t"),
+                F.length("pos_bin").alias("len_p"))
+        .cache()
+    )
 
     # dictionary partial (second-stage merge happens at load/query time)
     (
@@ -297,29 +354,18 @@ def build_index(
         .partitionBy("batch")
         .parquet(f"{path}/dictionary")
     )
+    tick("dictionary")
 
-    # stats partial
-    (
-        meta.agg(
-            F.count("*").alias("n_docs"),
-            F.sum("doclen").alias("sum_dl"),
-        )
-        .crossJoin(written.agg(F.sum("sum_tf").alias("n_postings")))
-        .withColumn("batch", F.lit(batch))
-        .write.mode("append")
-        .partitionBy("batch")
-        .parquet(f"{path}/stats")
-    )
+    # (no separate stats table: SegmentIndex derives N/avgdl from the
+    # per-shard norms rows, which stay exact across shard reindexes)
 
     # lineage LAST = the commit record (shadow-page flip,
     # bfile/commit.c semantics). One row per shard with metrics.
     per_shard_blocks = written.groupBy("shard").agg(
         F.sum("sum_tf").alias("postings_emitted"),
-        (
-            F.sum(F.length("docids_bin"))
-            + F.sum(F.length("tfs_bin"))
-            + F.sum(F.length("pos_bin"))
-        ).alias("bytes_compressed"),
+        (F.sum("len_d") + F.sum("len_t") + F.sum("len_p")).alias(
+            "bytes_compressed"
+        ),
     )
     doc_counts = meta.groupBy("shard").agg(F.count("*").alias("docs_indexed"))
     if reindex_shards is not None:
@@ -349,7 +395,9 @@ def build_index(
         F.sum("bytes_compressed").alias("bytes"),
     ).collect()[0]
     lineage_rows.write.mode("append").parquet(_lineage_path(path))
+    tick("lineage")
     lineage_rows.unpersist()
+    written.unpersist()
     src.unpersist()
     return {
         "batch": batch,

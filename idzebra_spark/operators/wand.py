@@ -102,7 +102,18 @@ def _shard_kernel(term_idf, term_order, avgdl, mode, theta, k, k1=K1, b=B):
 
         decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         candidates: np.ndarray | None = None
-        for t in present:
+        # OR: decode in descending-idf order; after the first (rarest)
+        # term is fully scored, its k-th solo score is a valid lower
+        # bound on this shard's final k-th score (partial <= final), so
+        # later terms' blocks prune against it — in-kernel θ seeding,
+        # no extra distributed pass. AND keeps ascending-df order
+        # (rsmultiandor.c:26-31 child ordering).
+        loop_order = (
+            sorted(present, key=lambda t: -term_idf[t]) if mode == "or"
+            else present
+        )
+        theta_local = float(theta)
+        for ti, t in enumerate(loop_order):
             g = by_term[t]
             first = g["first_docid"].to_numpy(np.int64)
             last = g["last_docid"].to_numpy(np.int64)
@@ -113,14 +124,14 @@ def _shard_kernel(term_idf, term_order, avgdl, mode, theta, k, k1=K1, b=B):
                 lo = np.searchsorted(candidates, first, side="left")
                 hi = np.searchsorted(candidates, last, side="right")
                 keep = hi > lo
-            elif mode == "or" and theta > 0.0:
+            elif mode == "or" and theta_local > 0.0 and ti > 0:
                 # block-max WAND: block ub + other terms' max ubs < θ
                 # ⇒ no doc in this block can reach the top-k (lossless,
                 # strict <; ties at θ are kept)
                 blk_ub = term_idf[t] * _bm25_tf(
                     g["max_tf"].to_numpy(np.int64), min_dl, avgdl, k1, b
                 )
-                keep = (blk_ub + (sum_ub - term_ub[t])) >= theta
+                keep = (blk_ub + (sum_ub - term_ub[t])) >= theta_local
             if not keep.any():
                 if mode == "and":
                     return empty
@@ -145,6 +156,12 @@ def _shard_kernel(term_idf, term_order, avgdl, mode, theta, k, k1=K1, b=B):
                 )
                 if candidates.size == 0:
                     return empty
+            elif mode == "or" and ti == 0 and k is not None and d.size >= k:
+                # in-kernel θ seed from the rarest term's solo scores
+                dl0 = nd_dls[np.searchsorted(nd_docids, d)]
+                solo = term_idf[t] * _bm25_tf(tfv, dl0, avgdl, k1, b)
+                kth = float(np.partition(solo, -k)[-k])
+                theta_local = max(theta_local, kth)
 
         if mode == "and":
             docs = candidates
@@ -299,20 +316,9 @@ class SegmentIndex:
             d["idf"] = math.log(1.0 + (n_docs - d["df"] + 0.5) / (d["df"] + 0.5))
             terms_info.append((t, d))
 
-        theta = 0.0
-        if mode == "or" and len(terms_info) > 1:
-            # θ seed: fully score only the rarest (highest-idf) term
-            seed = [max(terms_info, key=lambda x: x[1]["idf"])]
-            seed_rows = (
-                self._run(seed, avgdl, "or", 0.0, k)
-                .orderBy(F.desc("raw"), F.asc("doc_id"))
-                .limit(k)
-                .collect()
-            )
-            if len(seed_rows) == k:
-                theta = seed_rows[-1]["raw"]
-
-        out = self._run(terms_info, avgdl, mode, theta, k)
+        # θ is seeded inside the shard kernel (rarest term's solo
+        # scores) — no extra distributed pass needed.
+        out = self._run(terms_info, avgdl, mode, 0.0, k)
         return (
             out.orderBy(F.desc("raw"), F.asc("doc_id"))
             .limit(k)
@@ -321,6 +327,44 @@ class SegmentIndex:
                 F.round(F.col("raw") * 10000, 0).cast("long").alias("score_milli"),
             )
         )
+
+    def approx_count(self, terms: list[str], mode: str = "or",
+                     sample: float = 0.25) -> int:
+        """Approximate hit count — Zebra's hits_limit/estimatehits
+        stops counting early and extrapolates from the position ratio
+        (/root/reference/index/zsets.c:1498-1522). Here: count exactly
+        on a deterministic ``sample`` fraction of shards and scale by
+        the sampled fraction of documents."""
+        terms = sorted(set(t.lower() for t in terms))
+        info = self.lookup_terms(terms)
+        if not info or (mode == "and" and len(info) < len(terms)):
+            return 0
+        shards = self.norms.select("shard", "n_docs")
+        picked = shards.where(
+            F.pmod(F.xxhash64("shard"), 1000) < int(sample * 1000)
+        )
+        tot = shards.agg(F.sum("n_docs")).collect()[0][0]
+        got = picked.agg(F.sum("n_docs")).collect()[0][0]
+        if not got:
+            return self.count(terms, mode)
+        n_docs, avgdl = self.stats()
+        terms_info = [(t, {**d, "idf": 1.0}) for t, d in info.items()]
+        blk = self.blocks.where(F.col("term").isin(terms)).join(
+            picked.select("shard"), "shard", "semi"
+        )
+        nrm = self.norms.join(blk.select("shard").distinct(), "shard", "semi")
+        kernel = _shard_kernel(
+            {t: 1.0 for t, _ in terms_info},
+            [t for t, _ in sorted(terms_info, key=lambda x: x[1]["df"])],
+            avgdl, mode, 0.0, None,
+        )
+        rows = blk.groupBy("shard").cogroup(nrm.groupBy("shard")).applyInPandas(
+            kernel, TOPK_SCHEMA
+        )
+        if mode == "and":
+            rows = rows.where(F.col("n_matched") == len(terms))
+        sampled_hits = rows.count()
+        return int(round(sampled_hits * (tot / got)))
 
     def count(self, terms: list[str], mode: str = "or") -> int:
         """Exact boolean hit count (tl_query analogue)."""

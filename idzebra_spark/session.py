@@ -22,7 +22,10 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = max(cpus, 32)
+        # == cores in local mode: measured ~2x faster than 2*cores
+        # (extra task waves only add scheduling + python-worker churn);
+        # on a real cluster this would be sized to data volume instead
+        shuffle_partitions = max(cpus, 8)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
