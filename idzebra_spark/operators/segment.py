@@ -282,21 +282,13 @@ def build_index(
         F.size(tokenize_array(F.col("text"))).alias("doclen"),
         F.sha2(F.col("text"), 256).alias("sha256"),
     )
-    meta.withColumn("batch", F.lit(batch)).write.mode("append").partitionBy(
-        "batch"
-    ).parquet(f"{path}/doc_meta")
-    tick("doc_meta")
 
-    # norms per shard
+    # norms per shard (derived from the same single-scan projection)
     norms = (
         meta.select("shard", "doc_id", "doclen")
         .groupBy("shard")
         .applyInPandas(_build_norms, NORMS_SCHEMA)
     )
-    norms.withColumn("batch", F.lit(batch)).write.mode("append").partitionBy(
-        "batch"
-    ).parquet(f"{path}/norms")
-    tick("norms")
 
     # posting blocks. Stage 1 (JVM, codegen + map-side combine):
     # tokens → (shard, term, doc_id, tf[, positions]) — the partial
@@ -315,15 +307,37 @@ def build_index(
     blocks = tf_rows.groupBy("shard").applyInPandas(
         _build_shard_blocks(block_size, store_positions), BLOCK_SCHEMA
     )
-    (
-        blocks.withColumn("batch", F.lit(batch))
-        .repartitionByRange(max(spark.sparkContext.defaultParallelism, 8), "term")
-        .sortWithinPartitions("term", "shard", "block_seq")
-        .write.mode("append")
-        .partitionBy("batch")
-        .parquet(f"{path}/blocks")
-    )
-    tick("blocks")
+
+    # the three pre-commit writes are independent — submit them as
+    # concurrent Spark jobs (local scheduler interleaves tasks, keeping
+    # cores busy across job boundaries and shrinking the serial
+    # fraction; none is visible to readers until lineage commits)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def w_meta():
+        meta.withColumn("batch", F.lit(batch)).write.mode(
+            "append").partitionBy("batch").parquet(f"{path}/doc_meta")
+
+    def w_norms():
+        norms.withColumn("batch", F.lit(batch)).write.mode(
+            "append").partitionBy("batch").parquet(f"{path}/norms")
+
+    def w_blocks():
+        (
+            blocks.withColumn("batch", F.lit(batch))
+            .repartitionByRange(
+                max(spark.sparkContext.defaultParallelism, 8), "term")
+            .sortWithinPartitions("term", "shard", "block_seq")
+            .write.mode("append")
+            .partitionBy("batch")
+            .parquet(f"{path}/blocks")
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        futs = [ex.submit(w) for w in (w_meta, w_norms, w_blocks)]
+        for f in futs:
+            f.result()
+    tick("meta+norms+blocks")
 
     # read back what was written: validates readability and gives true
     # byte accounting for lineage metrics. Cached — three aggregations

@@ -204,6 +204,96 @@ def _shard_kernel(term_idf, term_order, avgdl, mode, theta, k, k1=K1, b=B):
     return fn
 
 
+PHRASE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_occ", T.LongType()),
+])
+
+
+def _decode_block_rows(g: pd.DataFrame, want_positions: bool):
+    """Decode one term's block rows → (docids, tfs, positions|None).
+    positions is a flat array; per-doc slices are given by tfs."""
+    dparts, tparts, pparts = [], [], []
+    for _, row in g.iterrows():
+        d = delta_varint_decode(bytes(row["docids_bin"])).astype(np.int64)
+        tfv = varint_decode(bytes(row["tfs_bin"])).astype(np.int64)
+        dparts.append(d)
+        tparts.append(tfv)
+        if want_positions:
+            pd_ = varint_decode(bytes(row["pos_bin"])).astype(np.int64)
+            # undo per-doc delta reset: cumsum minus per-doc base
+            starts = np.zeros(tfv.size, dtype=np.int64)
+            np.cumsum(tfv[:-1], out=starts[1:])
+            cs = np.cumsum(pd_)
+            base = cs[starts] - pd_[starts]
+            pparts.append(cs - np.repeat(base, tfv))
+    d = np.concatenate(dparts) if dparts else np.empty(0, np.int64)
+    tfv = np.concatenate(tparts) if tparts else np.empty(0, np.int64)
+    p = (np.concatenate(pparts) if pparts else np.empty(0, np.int64)) \
+        if want_positions else None
+    # blocks arrive per (block_seq) and docids are globally sorted per
+    # (term, shard) by construction; enforce order defensively
+    o = np.argsort(d, kind="mergesort")
+    if want_positions:
+        tok_off = np.zeros(d.size + 1, dtype=np.int64)
+        np.cumsum(tfv, out=tok_off[1:])
+        p = np.concatenate([p[tok_off[i]:tok_off[i + 1]] for i in o]) \
+            if d.size else p
+    return d[o], tfv[o], p
+
+
+def _phrase_kernel(term_order: list[str]):
+    """Per-shard exact-phrase matcher over stored positions — the
+    rsprox ordered distance-1 chain (/root/reference/rset/rsprox.c:
+    162-213) evaluated as per-doc sorted-set intersections of
+    position arrays shifted by the token offset."""
+
+    empty = pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "n_occ": pd.Series([], dtype="int64"),
+    })
+
+    def fn(blocks: pd.DataFrame) -> pd.DataFrame:
+        if len(blocks) == 0:
+            return empty
+        by_term = {t: g for t, g in blocks.groupby("term", sort=False)}
+        if any(t not in by_term for t in term_order):
+            return empty
+        decoded = {}
+        cand = None
+        for t in set(term_order):
+            d, tfv, p = _decode_block_rows(by_term[t], True)
+            tok_off = np.zeros(d.size + 1, dtype=np.int64)
+            np.cumsum(tfv, out=tok_off[1:])
+            decoded[t] = (d, tok_off, p)
+            cand = d if cand is None else np.intersect1d(
+                cand, d, assume_unique=True
+            )
+            if cand.size == 0:
+                return empty
+        out_docs, out_occ = [], []
+        for doc in cand:
+            match = None
+            for i, t in enumerate(term_order):
+                d, tok_off, p = decoded[t]
+                j = np.searchsorted(d, doc)
+                pos = p[tok_off[j]:tok_off[j + 1]]
+                shifted = pos - i
+                match = shifted if match is None else np.intersect1d(
+                    match, shifted, assume_unique=False
+                )
+                if match.size == 0:
+                    break
+            if match is not None and match.size:
+                out_docs.append(int(doc))
+                out_occ.append(int(match.size))
+        if not out_docs:
+            return empty
+        return pd.DataFrame({"doc_id": out_docs, "n_occ": out_occ})
+
+    return fn
+
+
 class SegmentIndex:
     """Query-side handle on a committed segment index."""
 
@@ -365,6 +455,17 @@ class SegmentIndex:
             rows = rows.where(F.col("n_matched") == len(terms))
         sampled_hits = rows.count()
         return int(round(sampled_hits * (tot / got)))
+
+    def phrase(self, terms: list[str], k: int = 10) -> DataFrame:
+        """Exact adjacent phrase over the segment's stored positions →
+        (doc_id, n_occ), doc_id asc, limit k. Requires the index to
+        have been built with store_positions=True."""
+        terms_l = [t.lower() for t in terms]
+        blk = self.blocks.where(F.col("term").isin(sorted(set(terms_l))))
+        out = blk.groupBy("shard").applyInPandas(
+            _phrase_kernel(terms_l), PHRASE_SCHEMA
+        )
+        return out.orderBy(F.asc("doc_id")).limit(k)
 
     def count(self, terms: list[str], mode: str = "or") -> int:
         """Exact boolean hit count (tl_query analogue)."""
