@@ -5,7 +5,7 @@ latencies at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
 Prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...,
-   "build": {docs, postings, bytes, docs_per_sec, postings_per_sec}}
+   "build": {...}, "bm25_latency": {"p50": ..., "p95": ...}}
 """
 
 from __future__ import annotations
@@ -49,26 +49,63 @@ def main() -> None:
     timings["build_index"] = round(build_sec, 4)
 
     idx = SegmentIndex(spark, idx_path)
-    idx.stats()  # warm metadata
+    idx.stats()
+    idx.topk(["data"], 10, "or").collect()  # warm python workers / JIT
 
     def run(name, fn):
         t = time.perf_counter()
-        rows = fn().collect()
+        fn()
         timings[name] = round(time.perf_counter() - t, 4)
-        return rows
 
-    # headline queries: single-term, high-df OR (theta pruning),
-    # selective AND, high-df AND, brute-force comparison point
-    run("q_wand_single", lambda: idx.topk(["merge"], 10, "or"))
-    run("q_wand_or2", lambda: idx.topk(["merge", "sort"], 10, "or"))
-    run("q_wand_or_highdf", lambda: idx.topk(["the", "data", "key"], 10, "or"))
-    run("q_wand_and2", lambda: idx.topk(["spark", "query"], 10, "and"))
-    run("q_wand_and3", lambda: idx.topk(["merge", "sort", "scan"], 10, "and"))
-    run("q_brute_or2", lambda: bm25_topk(docs, ["merge", "sort"], 10, "or"))
-    t = time.perf_counter()
-    idx.count(["merge", "sort"], "or")
-    timings["q_count_or"] = round(time.perf_counter() - t, 4)
-    run("q_dictionary", lambda: idx.dictionary().orderBy("term").limit(100))
+    # headline queries over the segment/WAND engine + the brute plan
+    bm25_set = [
+        ("q_wand_single", lambda: idx.topk(["merge"], 10, "or").collect()),
+        ("q_wand_or2", lambda: idx.topk(["merge", "sort"], 10, "or").collect()),
+        ("q_wand_or_highdf",
+         lambda: idx.topk(["the", "data", "key"], 10, "or").collect()),
+        ("q_wand_and2",
+         lambda: idx.topk(["spark", "query"], 10, "and").collect()),
+        ("q_wand_and3",
+         lambda: idx.topk(["merge", "sort", "scan"], 10, "and").collect()),
+        ("q_wand_not",
+         lambda: idx.topk(["merge", "sort"], 10, "or",
+                          not_terms=["slow"]).collect()),
+    ]
+    lat: list[float] = []
+    for name, fn in bm25_set:
+        for rep in range(3):
+            t = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t
+            lat.append(dt)
+            if rep == 0:
+                timings[name] = round(dt, 4)
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    p95 = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
+
+    run("q_phrase_segment", lambda: idx.phrase(["batch", "batch"], 10).collect())
+    run("q_count_or", lambda: idx.count(["merge", "sort"], "or"))
+    run("q_brute_or2",
+        lambda: bm25_topk(docs, ["merge", "sort"], 10, "or").collect())
+    run("q_dictionary", lambda: idx.dictionary().orderBy("term").limit(100).collect())
+
+    def _dedup():
+        from idzebra_spark.operators.dedup import minhash_lsh_pairs
+        minhash_lsh_pairs(docs, threshold=0.5).collect()
+
+    run("q_dedup_minhash_lsh", _dedup)
+
+    def _cosine():
+        from pyspark.sql import functions as F
+
+        from idzebra_spark.operators.similarity import cosine_topk
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qv = [float(x) for x in
+              emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        cosine_topk(emb, qv, 10, exclude_id=0).collect()
+
+    run("q_sim_cosine", _cosine)
 
     total = time.perf_counter() - t_all
     out = {
@@ -77,6 +114,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "bm25_latency": {"p50": round(p50, 4), "p95": round(p95, 4),
+                         "samples": len(lat)},
         "build": {
             "docs": int(m["docs"] or 0),
             "postings": int(m["postings"] or 0),

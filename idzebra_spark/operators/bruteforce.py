@@ -55,6 +55,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     k1: float = K1,
     b: float = B,
+    not_terms: list[str] | None = None,
 ) -> DataFrame:
     """Top-k BM25 over ``terms`` -> (doc_id, score) rounded, ordered
     (score desc, doc_id asc) — Zebra's tie discipline
@@ -95,6 +96,10 @@ def bm25_topk(
     )
     if mode == "and":
         scored = scored.where(F.col("n_matched") == len(terms))
+    if not_terms:
+        neg = sorted(set(t.lower() for t in not_terms))
+        neg_docs = toks.where(F.col("term").isin(neg)).select("doc_id").distinct()
+        scored = scored.join(neg_docs, "doc_id", "left_anti")
     return (
         scored.select(
             "doc_id",

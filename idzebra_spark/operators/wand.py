@@ -66,11 +66,16 @@ def _decode_norms(norms_pdf: pd.DataFrame):
     return docids, dls
 
 
-def _shard_kernel(term_idf, term_order, avgdl, mode, theta, k, k1=K1, b=B):
-    """Per-shard scorer. term_idf: {term: idf}; term_order: terms in
-    ascending df (AND intersection order). Returns per-shard top-k."""
+def _shard_kernel(term_idf, term_order, avgdl, mode, theta, k, k1=K1, b=B,
+                  neg_terms=()):
+    """Per-shard scorer. term_idf: {term: idf}; term_order: positive
+    terms in ascending df (AND intersection order); neg_terms are
+    AND-NOT exclusions (rsbool difference,
+    /root/reference/rset/rsbool.c:173-225): any doc containing one is
+    dropped before scoring. Returns per-shard top-k."""
 
     n_terms = len(term_order)
+    neg_terms = tuple(neg_terms)
     empty = pd.DataFrame(
         {"doc_id": pd.Series([], dtype="int64"),
          "raw": pd.Series([], dtype="float64"),
@@ -89,6 +94,20 @@ def _shard_kernel(term_idf, term_order, avgdl, mode, theta, k, k1=K1, b=B):
             return empty
         if not present:
             return empty
+
+        # AND-NOT exclusion set: docids of any negative term in-shard
+        excluded = None
+        for t in neg_terms:
+            if t not in by_term:
+                continue
+            parts = [
+                delta_varint_decode(bytes(r)).astype(np.int64)
+                for r in by_term[t]["docids_bin"]
+            ]
+            e = np.concatenate(parts)
+            excluded = e if excluded is None else np.union1d(excluded, e)
+        if excluded is not None:
+            excluded = np.unique(excluded)
 
         # term-level score upper bounds from block-max metadata
         term_ub = {
@@ -149,6 +168,9 @@ def _shard_kernel(term_idf, term_order, avgdl, mode, theta, k, k1=K1, b=B):
             tfv = np.concatenate(tparts)
             o = np.argsort(d, kind="mergesort")
             d, tfv = d[o], tfv[o]
+            if excluded is not None and d.size:
+                m = ~np.isin(d, excluded, assume_unique=False)
+                d, tfv = d[m], tfv[m]
             decoded[t] = (d, tfv)
             if mode == "and":
                 candidates = d if candidates is None else np.intersect1d(
@@ -376,24 +398,31 @@ class SegmentIndex:
     def _empty_result(self) -> DataFrame:
         return self.spark.createDataFrame([], RESULT_SCHEMA)
 
-    def _run(self, terms_info, avgdl, mode, theta, k) -> DataFrame:
+    def _run(self, terms_info, avgdl, mode, theta, k,
+             neg_terms=()) -> DataFrame:
         terms = [t for t, _ in terms_info]
         term_idf = {t: i["idf"] for t, i in terms_info}
         order = [t for t, _ in sorted(terms_info, key=lambda x: x[1]["df"])]
-        blk = self.blocks.where(F.col("term").isin(terms))
+        blk = self.blocks.where(
+            F.col("term").isin(sorted(set(terms) | set(neg_terms)))
+        )
         nrm = self.norms.join(
             blk.select("shard").distinct(), "shard", "semi"
         )
-        kernel = _shard_kernel(term_idf, order, avgdl, mode, theta, k)
+        kernel = _shard_kernel(term_idf, order, avgdl, mode, theta, k,
+                               neg_terms=neg_terms)
         return (
             blk.groupBy("shard")
             .cogroup(nrm.groupBy("shard"))
             .applyInPandas(kernel, TOPK_SCHEMA)
         )
 
-    def topk(self, terms: list[str], k: int = 10, mode: str = "or") -> DataFrame:
+    def topk(self, terms: list[str], k: int = 10, mode: str = "or",
+             not_terms: list[str] | None = None) -> DataFrame:
         """BM25 top-k -> (doc_id, score_milli), rank-identical to
-        operators.bruteforce.bm25_topk."""
+        operators.bruteforce.bm25_topk. ``not_terms``: AND-NOT
+        exclusions applied before scoring (rsbool semantics)."""
+        neg = tuple(sorted(set(t.lower() for t in (not_terms or []))))
         terms = sorted(set(t.lower() for t in terms))
         n_docs, avgdl = self.stats()
         info = self.lookup_terms(terms)
@@ -408,7 +437,7 @@ class SegmentIndex:
 
         # θ is seeded inside the shard kernel (rarest term's solo
         # scores) — no extra distributed pass needed.
-        out = self._run(terms_info, avgdl, mode, 0.0, k)
+        out = self._run(terms_info, avgdl, mode, 0.0, k, neg_terms=neg)
         return (
             out.orderBy(F.desc("raw"), F.asc("doc_id"))
             .limit(k)
