@@ -144,6 +144,22 @@ def q_wand_bm25_highdf(spark, sf_dir):
     return _index(spark, sf_dir).topk(["the", "data", "key"], 10, "or")
 
 
+def q_wand_bm25_not(spark, sf_dir):
+    return _index(spark, sf_dir).topk(["merge", "sort"], 10, "or",
+                                      not_terms=["slow"])
+
+
+def q_wand_phrase(spark, sf_dir):
+    return _index(spark, sf_dir).phrase(["batch", "batch"], 10)
+
+
+_WAND_NOT_SQL = oracle.bm25_topk_sql(["merge", "sort"], 10, "or").replace(
+    "FROM scored",
+    """FROM scored
+WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM posting WHERE term = 'slow')""",
+)
+
+
 # ------------------------------------------------------- boolean layer
 
 def q_bool_not(spark, sf_dir):
@@ -466,6 +482,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "wand_bm25_or": (q_wand_bm25_or, oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
     "wand_bm25_and": (q_wand_bm25_and, oracle.bm25_topk_sql(["spark", "query"], 10, "and")),
     "wand_bm25_highdf": (q_wand_bm25_highdf, oracle.bm25_topk_sql(["the", "data", "key"], 10, "or")),
+    "wand_bm25_not": (q_wand_bm25_not, _WAND_NOT_SQL),
+    "wand_phrase": (q_wand_phrase, oracle.phrase_sql(["batch", "batch"], 10)),
     "bool_not": (q_bool_not, oracle.bool_not_sql("merge", "sort", 100)),
     "prox_unordered": (q_prox, oracle.prox_sql("merge", "sort", 3, 100)),
     "trunc_prefix": (q_trunc_prefix, oracle.trunc_prefix_sql("sc", 100)),
