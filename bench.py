@@ -48,7 +48,7 @@ def main() -> None:
     build_sec = time.perf_counter() - t0
     timings["build_index"] = round(build_sec, 4)
 
-    idx = SegmentIndex(spark, idx_path)
+    idx = SegmentIndex(spark, idx_path, cache_hot=True)  # serving mode
     idx.stats()
     idx.topk(["data"], 10, "or").collect()  # warm python workers / JIT
 

@@ -465,6 +465,31 @@ ORDER BY doc_id ASC LIMIT 100
 """
 
 
+def q_fielded_search(spark, sf_dir):
+    """Multi-field (ordinal) search: word-indexed `source`, complete-
+    field `lang`, plus a body term — Zebra's @attr 1=<field> scoping."""
+    from idzebra_spark.operators.boolean import PostingsOps, fielded_term
+
+    o = PostingsOps(_docs(spark, sf_dir),
+                    fields={"w": ["source"], "p": ["lang"]})
+    hits = o.and_([
+        o.term_docs(fielded_term("source", "src3")),
+        o.term_docs(fielded_term("lang", "en")),
+        o.term_docs("merge"),
+    ])
+    return hits.orderBy(F.asc("doc_id")).limit(100)
+
+
+_FIELDED_SQL = f"""
+WITH {oracle.TOKS_CTE}
+SELECT DISTINCT doc_id FROM posting
+WHERE term = 'merge'
+  AND doc_id IN (SELECT doc_id FROM documents WHERE lower(source) = 'src3')
+  AND doc_id IN (SELECT doc_id FROM documents WHERE lower(lang) = 'en')
+ORDER BY doc_id ASC LIMIT 100
+"""
+
+
 from idzebra_spark import oracle_ml  # noqa: E402
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -498,6 +523,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "numeric_relation": (q_numeric_relation, _NUMERIC_SQL),
     "date_relation": (q_date_relation, _DATE_SQL),
     "resultset_reuse": (q_resultset_reuse, _RESULTSET_SQL),
+    "fielded_search": (q_fielded_search, _FIELDED_SQL),
     "bm25_single": (q_bm25_single, oracle.bm25_topk_sql(["merge"], 10, "or")),
     "bm25_or": (q_bm25_or, oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
     "bm25_and": (q_bm25_and, oracle.bm25_topk_sql(["spark", "query"], 10, "and")),

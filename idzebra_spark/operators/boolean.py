@@ -19,15 +19,60 @@ from pyspark.sql import functions as F
 from idzebra_spark.functions.tokenizer import tokenize
 
 
+FIELD_SEP = "\x1f"  # ordinal prefix on the term key — Zebra prefixes
+# dictionary terms with the SU-encoded field ordinal
+# (/root/reference/util/su_codec.c:32-76); a composite string key is
+# the same trick and keeps every downstream operator field-aware for
+# free (the segment layer works unchanged on composite terms).
+
+
+def fielded_term(field: str, term: str) -> str:
+    return f"{field}{FIELD_SEP}{term.lower()}"
+
+
 class PostingsOps:
-    """Boolean/proximity/truncation algebra over a tokenized corpus."""
+    """Boolean/proximity/truncation algebra over a tokenized corpus.
+
+    ``fields``: optional extra indexed fields beyond the main text —
+    ``{"w": ["source"], "p": ["lang"]}`` maps Zebra index types
+    (tab/default.idx: `w` word-split, `p` complete-field) to columns.
+    Their postings carry composite ``field\\x1fterm`` keys, queried via
+    :func:`fielded_term` — the multi-ordinal data model of SURVEY §1.
+    """
 
     def __init__(self, corpus: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id"):
+                 id_col: str = "doc_id",
+                 fields: dict[str, list[str]] | None = None):
         self.corpus = corpus
         self.text_col = text_col
         self.id_col = id_col
-        self.posting = tokenize(corpus, text_col, id_col)
+        posting = tokenize(corpus, text_col, id_col)
+        if fields:
+            from idzebra_spark.functions.tokenizer import tokenize_array
+
+            parts = [posting]
+            for col in fields.get("w", []):
+                # word index type: split into tokens, positions 1..n
+                p = tokenize(corpus, col, id_col).withColumn(
+                    "term", F.concat(F.lit(col + FIELD_SEP), F.col("term"))
+                )
+                parts.append(p)
+            for col in fields.get("p", []):
+                # complete-field type: the whole normalized field is
+                # ONE token at pos 1 (index/extract.c:1723-1731)
+                p = corpus.select(
+                    F.col(id_col).alias("doc_id"),
+                    F.concat(
+                        F.lit(col + FIELD_SEP),
+                        F.array_join(tokenize_array(F.col(col)), " "),
+                    ).alias("term"),
+                    F.lit(1).cast("int").alias("pos"),
+                )
+                parts.append(p)
+            from functools import reduce as _reduce
+
+            posting = _reduce(lambda a, b: a.unionByName(b), parts)
+        self.posting = posting
 
     # ------------------------------------------------------------ leaves
 

@@ -319,7 +319,13 @@ def _phrase_kernel(term_order: list[str]):
 class SegmentIndex:
     """Query-side handle on a committed segment index."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str,
+                 cache_hot: bool = False):
+        """``cache_hot=True`` pins blocks+norms in Spark storage — the
+        serving-mode ISAMB page cache (/root/reference/isamb/isamb.c:
+        380-450). Use for repeated-query serving on indexes that fit
+        cluster memory; leave off for one-shot batch jobs or
+        bigger-than-memory indexes (parquet + term pruning handle it)."""
         self.spark = spark
         self.path = path
         lineage = spark.read.parquet(f"{path}/lineage")
@@ -346,6 +352,9 @@ class SegmentIndex:
         self.norms = spark.read.parquet(f"{path}/norms").join(
             F.broadcast(self.shard_batch), ["shard", "batch"], "semi"
         )
+        if cache_hot:
+            self.blocks = self.blocks.cache()
+            self.norms = self.norms.cache()
         self._stats = None
         self._dict = None
 
