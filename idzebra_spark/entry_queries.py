@@ -465,6 +465,25 @@ ORDER BY doc_id ASC LIMIT 100
 """
 
 
+def q_first_in_field(spark, sf_dir):
+    """'First in field' position attribute — Zebra ANDs with a
+    sentinel token at seqno=1 (/root/reference/index/rpnsearch.c:
+    1465-1525); with explicit positions it is just ``pos = 1``."""
+    p = _posting(spark, sf_dir)
+    return (
+        p.where((F.col("term") == "the") & (F.col("pos") == 1))
+        .select("doc_id").distinct()
+        .orderBy(F.asc("doc_id")).limit(100)
+    )
+
+
+_FIRST_IN_FIELD_SQL = f"""
+WITH {oracle.TOKS_CTE}
+SELECT DISTINCT doc_id FROM posting WHERE term = 'the' AND pos = 1
+ORDER BY doc_id ASC LIMIT 100
+"""
+
+
 def q_fielded_search(spark, sf_dir):
     """Multi-field (ordinal) search: word-indexed `source`, complete-
     field `lang`, plus a body term — Zebra's @attr 1=<field> scoping."""
@@ -524,6 +543,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "date_relation": (q_date_relation, _DATE_SQL),
     "resultset_reuse": (q_resultset_reuse, _RESULTSET_SQL),
     "fielded_search": (q_fielded_search, _FIELDED_SQL),
+    "first_in_field": (q_first_in_field, _FIRST_IN_FIELD_SQL),
     "bm25_single": (q_bm25_single, oracle.bm25_topk_sql(["merge"], 10, "or")),
     "bm25_or": (q_bm25_or, oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
     "bm25_and": (q_bm25_and, oracle.bm25_topk_sql(["spark", "query"], 10, "and")),
