@@ -422,6 +422,64 @@ def build_index(
     }
 
 
+def compact_index(spark: SparkSession, path: str) -> dict:
+    """Fold every live batch into a single new batch — zebra_compact
+    (/root/reference/index/compact.c, dict/dcompact.c). After many
+    incremental updates the index is spread over batches; compaction
+    rewrites the LIVE rows (latest build_seq per shard) under one
+    batch id, recomputes the dictionary partial, and commits via
+    lineage — readers before/after see identical data. Old batches
+    become orphans (droppable by a GC sweep)."""
+    lineage = spark.read.parquet(_lineage_path(path))
+    build_seq = lineage.agg(F.max("build_seq")).collect()[0][0] + 1
+    batch = f"b{build_seq:05d}"
+    w_latest = lineage.groupBy("shard").agg(F.max("build_seq").alias("build_seq"))
+    live = lineage.join(w_latest, ["shard", "build_seq"]).select("shard", "batch")
+
+    def rewrite(table: str, sort_cols: list[str] | None = None) -> None:
+        df = (
+            spark.read.parquet(f"{path}/{table}")
+            .join(F.broadcast(live), ["shard", "batch"], "semi")
+            .drop("batch")
+            .withColumn("batch", F.lit(batch))
+        )
+        if sort_cols:
+            df = df.repartitionByRange(
+                max(spark.sparkContext.defaultParallelism, 8), sort_cols[0]
+            ).sortWithinPartitions(*sort_cols)
+        df.write.mode("append").partitionBy("batch").parquet(f"{path}/{table}")
+
+    rewrite("blocks", ["term", "shard", "block_seq"])
+    rewrite("norms")
+    rewrite("doc_meta")
+
+    written = spark.read.parquet(f"{path}/blocks").where(F.col("batch") == batch)
+    (
+        written.groupBy("term")
+        .agg(
+            F.sum("n_docs").alias("df"),
+            F.sum("sum_tf").alias("cf"),
+            F.max("max_tf").alias("max_tf"),
+            F.count("*").alias("n_blocks"),
+        )
+        .withColumn("batch", F.lit(batch))
+        .write.mode("append").partitionBy("batch")
+        .parquet(f"{path}/dictionary")
+    )
+
+    # commit: carry the live shards' metrics forward under the new seq
+    new_lineage = (
+        lineage.join(w_latest, ["shard", "build_seq"])
+        .drop("batch", "build_seq")
+        .withColumn("batch", F.lit(batch))
+        .withColumn("build_seq", F.lit(build_seq))
+    ).cache()
+    n = new_lineage.count()
+    new_lineage.write.mode("append").parquet(_lineage_path(path))
+    new_lineage.unpersist()
+    return {"batch": batch, "shards": n}
+
+
 def update_index(
     spark: SparkSession,
     new_corpus: DataFrame,
