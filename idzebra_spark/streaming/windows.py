@@ -1,0 +1,112 @@
+"""Structured Streaming windowed aggregation with watermarked late
+data, and a custom stateful operator via applyInPandasWithState.
+
+The reference has no streaming constructs (SURVEY §2.7) — these cover
+the brief's training-pipeline streaming surface: event-time tumbling
+windows for incremental stats, and cross-batch stateful dedup (the
+streaming twin of the doc_store-mirror update path).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "event_windows",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """readStream → watermark → tumbling-window count per event_type →
+    memory sink (complete mode). Late rows beyond the watermark drop —
+    the standard late-data policy."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n", "sum_value"
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+DEDUP_OUT_SCHEMA = "doc_id long, text string"
+DEDUP_STATE_SCHEMA = "seen boolean"
+
+
+def _dedup_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    if state.exists:
+        return iter(())
+    state.update((True,))
+    for pdf in pdfs:
+        yield pdf.head(1)[["doc_id", "text"]]
+        break
+    return
+
+
+def stream_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+):
+    """Cross-micro-batch stateful dedup by doc_id — first occurrence
+    wins, later duplicates (same or later batches) drop. GroupState
+    keyed by doc_id via applyInPandasWithState; state survives between
+    runs through the checkpoint. Output appends to a parquet sink
+    (memory sinks don't support checkpoint recovery). Returns the
+    deduped output DataFrame."""
+    stream = (
+        spark.readStream.schema(
+            T.StructType([
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ])
+        ).parquet(input_dir)
+    )
+    out = stream.groupBy("doc_id").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(output_dir)
