@@ -58,6 +58,22 @@ def _bm25_tf(tf, dl, avgdl, k1=K1, b=B):
     return tf * (k1 + 1.0) / (tf + norm)
 
 
+def _decode_docids_tfs(docids_bins, tfs_bins, n_docs):
+    """Decode many blocks of one (term, shard) with TWO varint_decode
+    calls total: payloads are concatenated, then per-block delta bases
+    are restored via a cumsum reset at each block start (first value
+    of every block is absolute by construction)."""
+    all_deltas = varint_decode(b"".join(docids_bins)).astype(np.int64)
+    tfs = varint_decode(b"".join(tfs_bins)).astype(np.int64)
+    counts = np.asarray(n_docs, dtype=np.int64)
+    starts = np.zeros(counts.size, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    cs = np.cumsum(all_deltas)
+    base = cs[starts] - all_deltas[starts]
+    docids = cs - np.repeat(base, counts)
+    return docids, tfs
+
+
 def _decode_norms(norms_pdf: pd.DataFrame):
     docids = delta_varint_decode(bytes(norms_pdf["docids_bin"].iloc[0])).astype(
         np.int64
@@ -100,11 +116,12 @@ def _shard_kernel(term_idf, term_order, avgdl, mode, theta, k, k1=K1, b=B,
         for t in neg_terms:
             if t not in by_term:
                 continue
-            parts = [
-                delta_varint_decode(bytes(r)).astype(np.int64)
-                for r in by_term[t]["docids_bin"]
-            ]
-            e = np.concatenate(parts)
+            gt = by_term[t]
+            e, _ = _decode_docids_tfs(
+                [bytes(x) for x in gt["docids_bin"]],
+                [bytes(x) for x in gt["tfs_bin"]],
+                gt["n_docs"].to_numpy(np.int64),
+            )
             excluded = e if excluded is None else np.union1d(excluded, e)
         if excluded is not None:
             excluded = np.unique(excluded)
@@ -156,16 +173,12 @@ def _shard_kernel(term_idf, term_order, avgdl, mode, theta, k, k1=K1, b=B,
                     return empty
                 decoded[t] = (np.empty(0, np.int64), np.empty(0, np.int64))
                 continue
-            dparts, tparts = [], []
-            for _, row in g[keep].iterrows():
-                dparts.append(
-                    delta_varint_decode(bytes(row["docids_bin"])).astype(np.int64)
-                )
-                tparts.append(
-                    varint_decode(bytes(row["tfs_bin"])).astype(np.int64)
-                )
-            d = np.concatenate(dparts)
-            tfv = np.concatenate(tparts)
+            gk = g[keep]
+            d, tfv = _decode_docids_tfs(
+                [bytes(x) for x in gk["docids_bin"]],
+                [bytes(x) for x in gk["tfs_bin"]],
+                gk["n_docs"].to_numpy(np.int64),
+            )
             o = np.argsort(d, kind="mergesort")
             d, tfv = d[o], tfv[o]
             if excluded is not None and d.size:
@@ -233,34 +246,33 @@ PHRASE_SCHEMA = T.StructType([
 
 
 def _decode_block_rows(g: pd.DataFrame, want_positions: bool):
-    """Decode one term's block rows → (docids, tfs, positions|None).
-    positions is a flat array; per-doc slices are given by tfs."""
-    dparts, tparts, pparts = [], [], []
-    for _, row in g.iterrows():
-        d = delta_varint_decode(bytes(row["docids_bin"])).astype(np.int64)
-        tfv = varint_decode(bytes(row["tfs_bin"])).astype(np.int64)
-        dparts.append(d)
-        tparts.append(tfv)
-        if want_positions:
-            pd_ = varint_decode(bytes(row["pos_bin"])).astype(np.int64)
-            # undo per-doc delta reset: cumsum minus per-doc base
-            starts = np.zeros(tfv.size, dtype=np.int64)
-            np.cumsum(tfv[:-1], out=starts[1:])
-            cs = np.cumsum(pd_)
-            base = cs[starts] - pd_[starts]
-            pparts.append(cs - np.repeat(base, tfv))
-    d = np.concatenate(dparts) if dparts else np.empty(0, np.int64)
-    tfv = np.concatenate(tparts) if tparts else np.empty(0, np.int64)
-    p = (np.concatenate(pparts) if pparts else np.empty(0, np.int64)) \
-        if want_positions else None
+    """Decode one term's block rows → (docids, tfs, positions|None),
+    sorted by docid. ONE varint_decode per payload column; positions
+    are a flat array with per-doc slices given by tfs."""
+    d, tfv = _decode_docids_tfs(
+        [bytes(x) for x in g["docids_bin"]],
+        [bytes(x) for x in g["tfs_bin"]],
+        g["n_docs"].to_numpy(np.int64),
+    )
+    p = None
+    if want_positions and d.size:
+        pdeltas = varint_decode(
+            b"".join(bytes(x) for x in g["pos_bin"])
+        ).astype(np.int64)
+        # undo per-doc delta reset: cumsum minus per-doc base
+        starts = np.zeros(d.size + 1, dtype=np.int64)
+        np.cumsum(tfv, out=starts[1:])
+        doc_starts = starts[:-1]
+        cs = np.cumsum(pdeltas)
+        base = cs[doc_starts] - pdeltas[doc_starts]
+        p = cs - np.repeat(base, tfv)
     # blocks arrive per (block_seq) and docids are globally sorted per
     # (term, shard) by construction; enforce order defensively
     o = np.argsort(d, kind="mergesort")
-    if want_positions:
+    if want_positions and d.size:
         tok_off = np.zeros(d.size + 1, dtype=np.int64)
         np.cumsum(tfv, out=tok_off[1:])
-        p = np.concatenate([p[tok_off[i]:tok_off[i + 1]] for i in o]) \
-            if d.size else p
+        p = np.concatenate([p[tok_off[i]:tok_off[i + 1]] for i in o])
     return d[o], tfv[o], p
 
 
