@@ -1,0 +1,185 @@
+"""ZebraSpark — the user-facing facade.
+
+One object exposes the reference's whole query surface (SURVEY §3):
+ranked search (query language → WAND segment engine where possible,
+logical plan otherwise), boolean/phrase/proximity, scan/browse,
+facets, snippets, counts, plus build/update/compact lifecycle. A Zebra
+user's zebraidx+zebrasrv workflow maps to::
+
+    zs = ZebraSpark(spark, index_path)
+    zs.build(corpus_df)                  # zebraidx update + commit
+    zs.search('merge AND sort', k=10)    # zebra_search_RPN + rank
+    zs.search('"static void"')           # phrase
+    zs.scan("mer")                       # zebra_scan browse
+    zs.facets("merge sort", "lang")      # zebra::facet
+    zs.snippets("merge")                 # zebra::snippet
+    zs.update(new_corpus_df)             # shard copy-on-write update
+    zs.compact()                         # zebra_compact
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from idzebra_spark.operators.boolean import PostingsOps
+from idzebra_spark.operators.segment import (
+    build_index,
+    compact_index,
+    update_index,
+)
+from idzebra_spark.operators.wand import SegmentIndex
+from idzebra_spark.plans.query import Node, parse
+
+
+def _flat_rankable(root: Node) -> tuple[str, list[str], list[str]] | None:
+    """If the query is a flat term / n-ary OR / n-ary AND of plain
+    terms (optionally minus NOT term branches), return
+    (mode, terms, not_terms) so it can run on the WAND engine."""
+    not_terms: list[str] = []
+    node = root
+    while node.op == "not":
+        neg = node.children[1]
+        if neg.op != "term":
+            return None
+        not_terms.append(neg.value)
+        node = node.children[0]
+    if node.op == "term":
+        return ("or", [node.value], not_terms)
+    if node.op in ("and", "or") and all(
+        c.op == "term" for c in node.children
+    ):
+        return (node.op, [c.value for c in node.children], not_terms)
+    return None
+
+
+class ZebraSpark:
+    def __init__(self, spark: SparkSession, index_path: str,
+                 corpus: DataFrame | None = None,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 cache_hot: bool = False):
+        self.spark = spark
+        self.path = index_path
+        self.text_col = text_col
+        self.id_col = id_col
+        self.cache_hot = cache_hot
+        self._corpus = corpus
+        self._idx: SegmentIndex | None = None
+        self._ops: PostingsOps | None = None
+
+    # ------------------------------------------------------- lifecycle
+
+    def build(self, corpus: DataFrame, **kw) -> dict:
+        self._corpus = corpus
+        m = build_index(self.spark, corpus, self.path,
+                        text_col=self.text_col, id_col=self.id_col, **kw)
+        self._idx = None
+        return m
+
+    def update(self, new_corpus: DataFrame, **kw) -> dict:
+        self._corpus = new_corpus
+        m = update_index(self.spark, new_corpus, self.path,
+                         text_col=self.text_col, id_col=self.id_col, **kw)
+        self._idx = None
+        return m
+
+    def compact(self) -> dict:
+        m = compact_index(self.spark, self.path)
+        self._idx = None
+        return m
+
+    def vacuum(self) -> list[str]:
+        """Drop orphan batch directories (superseded by compaction or
+        crashed mid-build — invisible to readers either way). Local-FS
+        implementation; on object storage this is a lifecycle job."""
+        import shutil
+
+        lineage = self.spark.read.parquet(f"{self.path}/lineage")
+        w_latest = lineage.groupBy("shard").agg(
+            F.max("build_seq").alias("build_seq")
+        )
+        live = {
+            r["batch"]
+            for r in lineage.join(w_latest, ["shard", "build_seq"])
+            .select("batch").distinct().collect()
+        }
+        removed = []
+        for table in ("blocks", "norms", "doc_meta", "dictionary"):
+            tdir = os.path.join(self.path, table)
+            if not os.path.isdir(tdir):
+                continue
+            for entry in os.listdir(tdir):
+                if entry.startswith("batch=") and entry[6:] not in live:
+                    shutil.rmtree(os.path.join(tdir, entry))
+                    removed.append(f"{table}/{entry}")
+        return removed
+
+    # --------------------------------------------------------- handles
+
+    @property
+    def index(self) -> SegmentIndex:
+        if self._idx is None:
+            self._idx = SegmentIndex(self.spark, self.path,
+                                     cache_hot=self.cache_hot)
+        return self._idx
+
+    @property
+    def ops(self) -> PostingsOps:
+        if self._ops is None:
+            if self._corpus is None:
+                raise ValueError("corpus DataFrame required for "
+                                 "positional/logical operators")
+            self._ops = PostingsOps(self._corpus, self.text_col, self.id_col)
+        return self._ops
+
+    # ----------------------------------------------------------- query
+
+    def search(self, query: str, k: int = 10) -> DataFrame:
+        """Ranked search: (doc_id, score_milli). Flat boolean queries
+        run on the segment/WAND engine; structured ones (parens mixing
+        ops, phrases, prefixes) evaluate the rset DAG for the doc set
+        and rank its members with BM25 over the query's terms."""
+        q = parse(query)
+        flat = _flat_rankable(q.root)
+        if flat is not None:
+            mode, terms, neg = flat
+            return self.index.topk(terms, k, mode, not_terms=neg or None)
+        # structured: doc-set via the logical DAG, then rank
+        from idzebra_spark.operators.bruteforce import bm25_topk
+
+        hits = q.eval(self.ops)
+        terms = q.root.terms() or [""]
+        corpus_hits = self._corpus.join(
+            hits.withColumnRenamed("doc_id", self.id_col), self.id_col, "semi"
+        )
+        return bm25_topk(corpus_hits, terms, k, "or",
+                         self.text_col, self.id_col)
+
+    def count(self, query: str) -> int:
+        q = parse(query)
+        flat = _flat_rankable(q.root)
+        if flat is not None and not flat[2]:
+            return self.index.count(flat[1], flat[0])
+        return q.eval(self.ops).count()
+
+    def phrase(self, terms: list[str], k: int = 10) -> DataFrame:
+        return self.index.phrase(terms, k)
+
+    def scan(self, seed: str, n_after: int = 10, n_before: int = 0) -> DataFrame:
+        return (
+            self.index.dictionary()
+            .where(F.col("term") >= seed.lower())
+            .orderBy("term").limit(n_after)
+            if n_before == 0
+            else self.ops.scan(seed, n_after, n_before)
+        )
+
+    def facets(self, query: str, facet_col: str, n: int = 10) -> DataFrame:
+        hits = parse(query).eval(self.ops)
+        return self.ops.facets(hits, facet_col, n)
+
+    def snippets(self, term: str, k: int = 10, window: int = 2) -> DataFrame:
+        hits = self.ops.term_docs(term)
+        return self.ops.snippets(term, hits, window).orderBy("doc_id").limit(k)
