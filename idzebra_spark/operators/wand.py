@@ -369,6 +369,7 @@ class SegmentIndex:
             self.norms = self.norms.cache()
         self._stats = None
         self._dict = None
+        self._term_memo: dict[str, dict | None] = {}
 
     # -------------------------------------------------------- metadata
 
@@ -411,8 +412,21 @@ class SegmentIndex:
         )
 
     def lookup_terms(self, terms: list[str]) -> dict[str, dict]:
-        rows = self.dictionary().where(F.col("term").isin(terms)).collect()
-        return {r["term"]: {"df": r["df"], "cf": r["cf"], "max_tf": r["max_tf"]} for r in rows}
+        """Dictionary lookup with a driver-side memo (Zebra's dict LRU,
+        dict/dict-p.h:44-70): repeated serving queries skip the job.
+        The term filter pushes through the groupBy to the parquet scan
+        (grouping-key predicate), so misses read only matching rows."""
+        missing = [t for t in terms if t not in self._term_memo]
+        if missing:
+            rows = self.dictionary().where(F.col("term").isin(missing)).collect()
+            found = {
+                r["term"]: {"df": r["df"], "cf": r["cf"], "max_tf": r["max_tf"]}
+                for r in rows
+            }
+            for t in missing:
+                self._term_memo[t] = found.get(t)
+        return {t: self._term_memo[t] for t in terms
+                if self._term_memo.get(t) is not None}
 
     # ----------------------------------------------------------- query
 
