@@ -155,9 +155,53 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = N_HASHES,
         )
         .distinct()
     )
-    exact = jaccard_pairs(df, n, threshold, text_col, id_col)
-    return cand.join(exact, ["doc_a", "doc_b"], "inner").select(
-        "doc_a", "doc_b", "jacc_milli"
+    return verify_candidate_pairs(df, cand, n, threshold, text_col, id_col)
+
+
+def verify_candidate_pairs(df: DataFrame, cand: DataFrame, n: int = 3,
+                           threshold: float = 0.5, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram Jaccard restricted to a candidate-pair set.
+
+    The 100 TB-safe verifier: shingles are semi-joined down to docs
+    that appear in ``cand`` (doc_a/doc_b), and intersections are
+    computed ONLY for candidate pairs — the corpus-wide shared-shingle
+    self-join never happens. Work is O(sum over candidate pairs of
+    shingle counts), bounded by the LSH band stage.
+    """
+    cand = cand.cache()
+    sh = shingles(df, n, text_col, id_col)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_docs, "doc_id", "semi").cache()
+    sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand
+        .join(sh_c.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh_c.select(F.col("doc_id").alias("doc_b"), "shingle"),
+              ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    j = (
+        inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+              .withColumnRenamed("n_sh", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "sz_b"), "doc_b")
+        .withColumn(
+            "jacc",
+            F.col("n_inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        )
+        .where(F.col("jacc") >= threshold)
+    )
+    return j.select(
+        "doc_a", "doc_b",
+        F.round(F.col("jacc") * 10000, 0).cast("long").alias("jacc_milli"),
     )
 
 

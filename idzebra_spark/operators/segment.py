@@ -69,6 +69,17 @@ from idzebra_spark.functions.tokenizer import tokenize, tokenize_array
 DEFAULT_SHARD_SIZE = 4096
 DEFAULT_BLOCK_SIZE = 128
 
+
+def shard_expr(shard_size: int) -> F.Column:
+    """floor(doc_id / shard_size) in pure INTEGER arithmetic.
+
+    ``pmod`` is non-negative, so (doc_id - pmod) is exactly divisible
+    and ``div`` (bigint division) equals floor for any sign — no
+    float-division truncation-vs-floor mismatch for negative ids and
+    no double rounding near 2^53 or at exact shard boundaries."""
+    s = int(shard_size)
+    return F.expr(f"(doc_id - pmod(doc_id, {s})) div {s}").cast("long")
+
 BLOCK_SCHEMA = T.StructType([
     T.StructField("term", T.StringType()),
     T.StructField("shard", T.LongType()),
@@ -246,7 +257,7 @@ def build_index(
 
     src = corpus.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-    ).withColumn("shard", (F.col("doc_id") / shard_size).cast("long"))
+    ).withColumn("shard", shard_expr(shard_size))
 
     if reindex_shards is not None:
         src = src.where(F.col("shard").isin(list(reindex_shards)))
@@ -298,7 +309,7 @@ def build_index(
     # sorted by term so query-term predicates prune files via parquet
     # min/max stats.
     toks = tokenize(src, "text", "doc_id").withColumn(
-        "shard", (F.col("doc_id") / shard_size).cast("long")
+        "shard", shard_expr(shard_size)
     )
     aggs = [F.count("*").alias("tf")]
     if store_positions:
@@ -506,7 +517,7 @@ def update_index(
     src = new_corpus.select(
         F.col(id_col).alias("doc_id"),
         F.sha2(F.col(text_col), 256).alias("sha256"),
-    ).withColumn("shard", (F.col("doc_id") / shard_size).cast("long"))
+    ).withColumn("shard", shard_expr(shard_size))
 
     lineage = read_lineage(spark, path)
     if lineage is None:

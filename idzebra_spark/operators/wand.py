@@ -192,10 +192,14 @@ def _shard_kernel(term_idf, term_order, avgdl, mode, theta, k, k1=K1, b=B,
                 if candidates.size == 0:
                     return empty
             elif mode == "or" and ti == 0 and k is not None and d.size >= k:
-                # in-kernel θ seed from the rarest term's solo scores
+                # in-kernel θ seed from the rarest term's solo scores.
+                # One milli (1e-4) of slack keeps the prune lossless
+                # under the ROUNDED ordering: a doc whose raw score is
+                # just below the kth raw can still round-tie at the
+                # milli level and win on doc_id, so it must survive.
                 dl0 = nd_dls[np.searchsorted(nd_docids, d)]
                 solo = term_idf[t] * _bm25_tf(tfv, dl0, avgdl, k1, b)
-                kth = float(np.partition(solo, -k)[-k])
+                kth = float(np.partition(solo, -k)[-k]) - 1e-4
                 theta_local = max(theta_local, kth)
 
         if mode == "and":
@@ -228,8 +232,14 @@ def _shard_kernel(term_idf, term_order, avgdl, mode, theta, k, k1=K1, b=B,
 
         if k is not None and docs.size > k:
             # bounded top-k (score desc, docid asc) — Zebra's
-            # resultSetInsertRank tie discipline (zsets.c:716-736)
-            sel = np.lexsort((docs, -raw))[:k]
+            # resultSetInsertRank tie discipline (zsets.c:716-736).
+            # The cut uses ROUNDED milli scores (floor(x*1e4+0.5) ==
+            # Spark round HALF_UP for x>=0) so the per-shard selection
+            # agrees with the global milli-ordered merge: two raw
+            # scores that round to the same milli tie-break by doc_id
+            # here exactly as they do in the final orderBy.
+            milli = np.floor(raw * 10000.0 + 0.5).astype(np.int64)
+            sel = np.lexsort((docs, -milli))[:k]
             docs, raw, n_matched = docs[sel], raw[sel], n_matched[sel]
         return pd.DataFrame(
             {"doc_id": docs.astype(np.int64), "raw": raw,
@@ -473,13 +483,16 @@ class SegmentIndex:
         # θ is seeded inside the shard kernel (rarest term's solo
         # scores) — no extra distributed pass needed.
         out = self._run(terms_info, avgdl, mode, 0.0, k, neg_terms=neg)
+        # order by the ROUNDED score (milli) — the same tie discipline
+        # as bruteforce.bm25_topk and the DuckDB oracle, so rank
+        # identity holds even when two raw scores round to one milli.
         return (
-            out.orderBy(F.desc("raw"), F.asc("doc_id"))
-            .limit(k)
-            .select(
+            out.select(
                 "doc_id",
                 F.round(F.col("raw") * 10000, 0).cast("long").alias("score_milli"),
             )
+            .orderBy(F.desc("score_milli"), F.asc("doc_id"))
+            .limit(k)
         )
 
     def approx_count(self, terms: list[str], mode: str = "or",

@@ -19,8 +19,10 @@ from idzebra_spark.functions.scoring import K1, B
 TOKS_CTE = """
 toks AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^0-9a-z]+'),
-                     x -> x <> '') AS arr
+         list_transform(
+           list_filter(regexp_split_to_array(lower(text), '[^0-9a-z]+'),
+                       x -> x <> ''),
+           x -> x[1:512]) AS arr
   FROM documents
 ),
 posting AS (

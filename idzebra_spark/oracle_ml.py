@@ -15,8 +15,11 @@ from idzebra_spark.operators.textops import (
     BPE_RE,
 )
 
-_ARR = ("list_filter(regexp_split_to_array(lower(text), '[^0-9a-z]+'), "
-        "x -> x <> '')")
+# mirrors tokenize_array: split, drop empties, truncate to 512 chars
+# (IT_MAX_WORD) — DuckDB slice x[1:512] is 1-based inclusive.
+_ARR = ("list_transform("
+        "list_filter(regexp_split_to_array(lower(text), '[^0-9a-z]+'), "
+        "x -> x <> ''), x -> x[1:512])")
 
 
 def _inlist(words: list[str]) -> str:

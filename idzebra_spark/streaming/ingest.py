@@ -35,8 +35,13 @@ DOCS_SCHEMA = T.StructType([
 
 
 def doc_store_snapshot(spark: SparkSession, index_path: str) -> DataFrame:
-    """Latest version of every non-deleted doc in the mirror."""
+    """Latest version of every non-deleted doc in the mirror.
+
+    ``dropDuplicates`` on (doc_id, ingest_seq) makes the snapshot
+    insensitive to replayed mirror rows — belt-and-braces on top of
+    the idempotent per-ingest_seq overwrite in fold_batch."""
     store = spark.read.parquet(f"{index_path}/doc_store")
+    store = store.dropDuplicates(["doc_id", "ingest_seq"])
     latest = store.groupBy("doc_id").agg(F.max("ingest_seq").alias("ingest_seq"))
     return (
         store.join(latest, ["doc_id", "ingest_seq"])
@@ -48,13 +53,21 @@ def doc_store_snapshot(spark: SparkSession, index_path: str) -> DataFrame:
 def fold_batch(batch_df: DataFrame, batch_id: int, index_path: str,
                shard_size: int = 512, block_size: int = 128) -> None:
     """foreachBatch body: mirror the batch, then sync the index to the
-    mirror's new snapshot."""
+    mirror's new snapshot.
+
+    Idempotent under foreachBatch's at-least-once replay: the mirror
+    write OVERWRITES the batch's own ``ingest_seq=<batch_id>``
+    partition instead of blind-appending, so a crash between the
+    mirror write and the checkpoint commit re-runs the batch into the
+    same directory — no duplicate (doc_id, ingest_seq) rows, no
+    doubled tf/doclen in the rebuilt shards."""
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
     (
-        batch_df.withColumn("ingest_seq", F.lit(int(batch_id)))
-        .write.mode("append").parquet(f"{index_path}/doc_store")
+        batch_df
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/doc_store/ingest_seq={int(batch_id)}")
     )
     snapshot = doc_store_snapshot(spark, index_path)
     update_index(
