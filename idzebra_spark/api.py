@@ -138,48 +138,88 @@ class ZebraSpark:
 
     def search(self, query: str, k: int = 10) -> DataFrame:
         """Ranked search: (doc_id, score_milli). Flat boolean queries
-        run on the segment/WAND engine; structured ones (parens mixing
-        ops, phrases, prefixes) evaluate the rset DAG for the doc set
-        and rank its members with BM25 over the query's terms."""
+        run on the block-max WAND path; structured ones (parens mixing
+        ops, phrases, prefixes) evaluate the rset DAG over SEGMENT
+        leaves and rank with corpus-GLOBAL statistics — the same doc
+        gets the same score on either route (no subset stats, no
+        corpus re-tokenization; /root/reference/index/rpnsearch.c:
+        2567-2772 evaluates the same DAG over ISAMB leaves)."""
         q = parse(query)
         flat = _flat_rankable(q.root)
         if flat is not None:
             mode, terms, neg = flat
             return self.index.topk(terms, k, mode, not_terms=neg or None)
-        # structured: doc-set via the logical DAG, then rank
-        from idzebra_spark.operators.bruteforce import bm25_topk
-
-        hits = q.eval(self.ops)
-        terms = q.root.terms() or [""]
-        corpus_hits = self._corpus.join(
-            hits.withColumnRenamed("doc_id", self.id_col), self.id_col, "semi"
-        )
-        return bm25_topk(corpus_hits, terms, k, "or",
-                         self.text_col, self.id_col)
+        return self.index.search_tree(q.root.to_rset_tree(), k)
 
     def count(self, query: str) -> int:
         q = parse(query)
         flat = _flat_rankable(q.root)
         if flat is not None and not flat[2]:
             return self.index.count(flat[1], flat[0])
-        return q.eval(self.ops).count()
+        return self.index.eval_tree(q.root.to_rset_tree()).count()
 
     def phrase(self, terms: list[str], k: int = 10) -> DataFrame:
         return self.index.phrase(terms, k)
 
     def scan(self, seed: str, n_after: int = 10, n_before: int = 0) -> DataFrame:
-        return (
-            self.index.dictionary()
-            .where(F.col("term") >= seed.lower())
-            .orderBy("term").limit(n_after)
-            if n_before == 0
-            else self.ops.scan(seed, n_after, n_before)
+        """Dictionary browse around a seed — zebra_scan
+        (/root/reference/index/rpnscan.c:285-480), served entirely by
+        the segment dictionary (no corpus scan)."""
+        d = self.index.dictionary().select("term", "df")
+        after = (
+            d.where(F.col("term") >= seed.lower())
+            .orderBy(F.asc("term")).limit(n_after)
         )
+        if n_before <= 0:
+            return after
+        before = (
+            d.where(F.col("term") < seed.lower())
+            .orderBy(F.desc("term")).limit(n_before)
+        )
+        return before.unionByName(after).orderBy(F.asc("term"))
 
     def facets(self, query: str, facet_col: str, n: int = 10) -> DataFrame:
-        hits = parse(query).eval(self.ops)
-        return self.ops.facets(hits, facet_col, n)
+        """Facet counts over a hit set (retrieve.c:698-840) — hits come
+        from the segment engine; the corpus is touched only for the
+        facet column, via a semi-join (column-pruned scan)."""
+        hits = self.index.eval_tree(parse(query).root.to_rset_tree())
+        src = self._corpus.select(
+            F.col(self.id_col).alias("doc_id"), F.col(facet_col)
+        )
+        return (
+            src.join(hits, "doc_id", "semi")
+            .groupBy(facet_col)
+            .agg(F.count("*").alias("count"))
+            .orderBy(F.desc("count"), F.asc(facet_col))
+            .limit(n)
+        )
 
     def snippets(self, term: str, k: int = 10, window: int = 2) -> DataFrame:
-        hits = self.ops.term_docs(term)
-        return self.ops.snippets(term, hits, window).orderBy("doc_id").limit(k)
+        """±window-token snippet around the first occurrence
+        (util/snippet.c) — first positions decoded from the segment's
+        pos_bin; the corpus is read only for the matched docs' text."""
+        from idzebra_spark.functions.tokenizer import tokenize_array
+
+        fp = (
+            self.index.term_postings([term], with_positions=True)
+            .select("doc_id", F.element_at("positions", 1).alias("pos"))
+        )
+        toks = self._corpus.select(
+            F.col(self.id_col).alias("doc_id"),
+            tokenize_array(F.col(self.text_col)).alias("toks"),
+        )
+        start = F.greatest(F.col("pos") - window, F.lit(1))
+        length = F.least(
+            F.col("pos") + window, F.size(F.col("toks"))
+        ) - start + 1
+        return (
+            fp.join(toks, "doc_id")
+            .select(
+                "doc_id",
+                F.array_join(
+                    F.slice(F.col("toks"), start.cast("int"),
+                            length.cast("int")), " "
+                ).alias("snippet"),
+            )
+            .orderBy("doc_id").limit(k)
+        )

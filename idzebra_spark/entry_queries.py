@@ -509,6 +509,341 @@ ORDER BY doc_id ASC LIMIT 100
 """
 
 
+# ------------------------------------------- segment-engine round 2:
+# structured queries, fielded index, truncation forms, and segment-
+# backed twins of the logical-layer entries (no corpus re-tokenize).
+
+def _fielded_index(spark, sf_dir):
+    """Segment index with composite field\\x1fterm keys for `source`
+    (word type) and `lang` (complete-field type)."""
+    key = sf_dir + "#fielded"
+    if key not in _IDX_CACHE:
+        import tempfile
+
+        from idzebra_spark.operators.segment import build_index
+        from idzebra_spark.operators.wand import SegmentIndex
+
+        path = tempfile.mkdtemp(prefix="idzebra_entry_f_") + "/idx"
+        build_index(spark, _docs(spark, sf_dir), path,
+                    shard_size=512, block_size=128,
+                    fields={"w": ["source"], "p": ["lang"]})
+        _IDX_CACHE[key] = SegmentIndex(spark, path)
+    return _IDX_CACHE[key]
+
+
+def q_wand_parsed_bool(spark, sf_dir):
+    """Structured query evaluated as an rset DAG over SEGMENT leaves,
+    ranked with corpus-GLOBAL stats (rpnsearch.c:2567-2772 over ISAMB
+    leaves + resultSetRank) — no subset statistics, no re-tokenize."""
+    from idzebra_spark.plans.query import parse
+
+    q = parse('(merge OR sort) AND scan NOT "batch batch"')
+    return _index(spark, sf_dir).search_tree(q.root.to_rset_tree(), 10)
+
+
+_WAND_PARSED_SQL = f"""
+WITH {oracle.TOKS_CTE},
+a AS (SELECT DISTINCT doc_id FROM posting WHERE term IN ('merge','sort')),
+b AS (SELECT DISTINCT doc_id FROM posting WHERE term = 'scan'),
+ph AS (
+  SELECT DISTINCT p0.doc_id
+  FROM posting p0 JOIN posting p1
+    ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+  WHERE p0.term = 'batch' AND p1.term = 'batch'
+),
+docset AS (
+  SELECT doc_id FROM a INTERSECT SELECT doc_id FROM b
+  EXCEPT SELECT doc_id FROM ph
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM posting WHERE term IN ('merge','scan','sort')
+  GROUP BY doc_id, term
+),
+dft AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM posting WHERE term IN ('merge','scan','sort') GROUP BY term
+),
+scored AS (
+  SELECT ds.doc_id,
+         sum( ln(1 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              * tf.tf * {oracle.K1 + 1.0}
+              / (tf.tf + {oracle.K1} * ({1.0 - oracle.B}
+                  + {oracle.B} * doclen.doclen / stats.avgdl)) ) AS raw
+  FROM docset ds
+  JOIN tf ON tf.doc_id = ds.doc_id
+  JOIN dft USING (term)
+  JOIN doclen ON doclen.doc_id = ds.doc_id
+  CROSS JOIN stats
+  GROUP BY ds.doc_id
+)
+SELECT doc_id, CAST(round(raw * 10000) AS BIGINT) AS score_milli
+FROM scored ORDER BY score_milli DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q_wand_fielded_search(spark, sf_dir):
+    """Fielded (multi-ordinal) search on the SEGMENT engine: composite
+    field\\x1fterm dictionary keys, AND-composed leaf streams."""
+    from idzebra_spark.operators.boolean import fielded_term
+
+    idx = _fielded_index(spark, sf_dir)
+    tree = ("and", [
+        ("term", fielded_term("source", "src3")),
+        ("term", fielded_term("lang", "en")),
+        ("term", "merge"),
+    ])
+    return idx.eval_tree(tree).orderBy(F.asc("doc_id")).limit(100)
+
+
+def q_wand_phrase_highdf(spark, sf_dir):
+    """Phrase of two HIGH-df terms — exercises the vectorized position
+    intersection (rsprox.c:162-213 fast path) where the candidate set
+    is ~every doc in the shard."""
+    return _index(spark, sf_dir).phrase(["value", "table"], 10)
+
+
+def q_seg_trunc_prefix(spark, sf_dir):
+    return (
+        _index(spark, sf_dir).eval_tree(("prefix", "sc"))
+        .orderBy(F.asc("doc_id")).limit(100)
+    )
+
+
+def q_trunc_suffix(spark, sf_dir):
+    """Left truncation (attr 5=2, rpnsearch.c:1174-1184: '(.*term)')."""
+    return (
+        _index(spark, sf_dir).eval_tree(("suffix", "am"))
+        .orderBy(F.asc("doc_id")).limit(100)
+    )
+
+
+def q_trunc_both(spark, sf_dir):
+    """Left+right truncation (attr 5=3: '(.*term.*)')."""
+    return (
+        _index(spark, sf_dir).eval_tree(("contains", "or"))
+        .orderBy(F.asc("doc_id")).limit(100)
+    )
+
+
+def q_trunc_z3958(spark, sf_dir):
+    """Z39.58 masking (attr 5=104, term_104: '?n', '*', '#')."""
+    return (
+        _index(spark, sf_dir).eval_tree(("z3958", "b*ch"))
+        .orderBy(F.asc("doc_id")).limit(100)
+    )
+
+
+def _trunc_docs_sql(like: str, k: int = 100) -> str:
+    return f"""
+WITH {oracle.TOKS_CTE}
+SELECT DISTINCT doc_id FROM posting WHERE term LIKE '{like}'
+ORDER BY doc_id ASC LIMIT {k}
+"""
+
+
+def _z3958_docs_sql(pattern: str, k: int = 100) -> str:
+    from idzebra_spark.operators.wand import z3958_to_regex
+
+    return f"""
+WITH {oracle.TOKS_CTE}
+SELECT DISTINCT doc_id FROM posting
+WHERE regexp_matches(term, '{z3958_to_regex(pattern)}')
+ORDER BY doc_id ASC LIMIT {k}
+"""
+
+
+def q_seg_regex_terms(spark, sf_dir):
+    idx = _index(spark, sf_dir)
+    return (
+        idx.dictionary()
+        .where(F.col("term").rlike("^s[a-z]*t$"))
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy(F.asc("term")).limit(100)
+    )
+
+
+def q_seg_scan_around(spark, sf_dir):
+    d = _index(spark, sf_dir).dictionary().select(
+        "term", F.col("df").cast("long").alias("df"))
+    after = d.where(F.col("term") >= "merge").orderBy(F.asc("term")).limit(7)
+    before = d.where(F.col("term") < "merge").orderBy(F.desc("term")).limit(5)
+    return before.unionByName(after).orderBy(F.asc("term"))
+
+
+def q_seg_first_in_field(spark, sf_dir):
+    """First-in-field position attribute served from pos_bin."""
+    idx = _index(spark, sf_dir)
+    return (
+        idx.term_postings(["the"])
+        .where(F.element_at("positions", 1) == 1)
+        .select("doc_id")
+        .orderBy(F.asc("doc_id")).limit(100)
+    )
+
+
+def q_seg_prox(spark, sf_dir):
+    """Unordered proximity over segment-decoded positions."""
+    idx = _index(spark, sf_dir)
+    tp = idx.term_postings(["merge", "sort"])
+    p1 = (
+        tp.where(F.col("term") == "merge")
+        .select("doc_id", F.explode("positions").alias("pos")).alias("a")
+    )
+    p2 = (
+        tp.where(F.col("term") == "sort")
+        .select("doc_id", F.explode("positions").alias("pos")).alias("b")
+    )
+    m = p1.join(
+        p2,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.abs(F.col("b.pos") - F.col("a.pos")) <= 3)
+        & (F.col("a.pos") != F.col("b.pos")),
+    )
+    return (
+        m.select(F.col("a.doc_id").alias("doc_id")).distinct()
+        .orderBy(F.asc("doc_id")).limit(100)
+    )
+
+
+def q_seg_facets(spark, sf_dir):
+    idx = _index(spark, sf_dir)
+    hits = idx.eval_tree(("or", [("term", "merge"), ("term", "sort")]))
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    return (
+        src.join(hits, "doc_id", "semi")
+        .groupBy("source").agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), F.asc("source")).limit(10)
+    )
+
+
+def q_seg_snippets(spark, sf_dir):
+    from idzebra_spark.functions.tokenizer import tokenize_array
+
+    idx = _index(spark, sf_dir)
+    fp = idx.term_postings(["merge"]).select(
+        "doc_id", F.element_at("positions", 1).alias("pos"))
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", tokenize_array(F.col("text")).alias("toks"))
+    start = F.greatest(F.col("pos") - 2, F.lit(1))
+    length = F.least(F.col("pos") + 2, F.size(F.col("toks"))) - start + 1
+    return (
+        fp.join(toks, "doc_id")
+        .select(
+            "doc_id",
+            F.array_join(
+                F.slice(F.col("toks"), start.cast("int"),
+                        length.cast("int")), " ").alias("snippet"),
+        )
+        .orderBy(F.asc("doc_id")).limit(10)
+    )
+
+
+def q_rank2(spark, sf_dir):
+    """Zebra rank-2 (/root/reference/index/rank1.c:220-225): the
+    rank-1 score MINUS the document's static rank (written as the
+    first key component, /root/reference/index/key_block.c:291-295).
+    Static rank here is the deterministic doc attribute pmod(doc_id,
+    16) (Zebra reads it from record metadata)."""
+    terms = ["merge", "sort"]
+    p = _posting(spark, sf_dir)
+    toks = p.groupBy("doc_id").agg(F.count("*").alias("doclen"))
+    tf = (
+        p.where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    nq = len(terms)
+    contrib = (F.lit(8) + log2i(F.col("tf"))) * (
+        F.lit(32) - log2i(F.col("df"))
+    ) * F.lit(34)
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .join(toks, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(contrib).alias("s"),
+            F.count("*").alias("nm"),
+            F.first("doclen").alias("dl"),
+        )
+    )
+    divisor = F.col("nm") * (F.lit(8) + log2i(F.floor(F.col("dl") / nq)))
+    rank1_score = F.least(
+        F.lit(1000), F.floor(F.col("s") / divisor).cast("long"))
+    return (
+        scored.select(
+            "doc_id",
+            (rank1_score - F.pmod(F.col("doc_id"), F.lit(16))).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_RANK2_SQL = oracle.rank1_sql(["merge", "sort"], 10).replace(
+    "AS score\nFROM scored",
+    "- (doc_id % 16) AS score\nFROM scored",
+)
+
+
+def q_between_scope(spark, sf_dir):
+    """rsbetween element scoping: 'merge' hits between a 'window'
+    start marker and a 'group' end marker."""
+    o = _ops(spark, sf_dir)
+    return (
+        o.between("merge", "window", "group")
+        .orderBy(F.asc("doc_id")).limit(100)
+    )
+
+
+_BETWEEN_SQL = f"""
+WITH {oracle.TOKS_CTE},
+marks AS (
+  SELECT doc_id,
+         list_sort(list(pos) FILTER (WHERE term = 'window')) AS starts,
+         list_sort(list(pos) FILTER (WHERE term = 'group'))  AS ends
+  FROM posting WHERE term IN ('window','group') GROUP BY doc_id
+),
+mid AS (SELECT doc_id, pos FROM posting WHERE term = 'merge')
+SELECT DISTINCT m.doc_id AS doc_id
+FROM mid m JOIN marks USING (doc_id)
+WHERE coalesce(len(list_filter(starts, s -> s <= m.pos)), 0)
+    - coalesce(len(list_filter(ends, e -> e < m.pos)), 0) > 0
+ORDER BY doc_id ASC LIMIT 100
+"""
+
+
+def q_within_unit(spark, sf_dir):
+    """search_group unit scoping: 'merge' and 'sort' within the same
+    unit, units delimited by the 'line' marker token."""
+    o = _ops(spark, sf_dir)
+    return (
+        o.within_unit("merge", "sort", "line")
+        .orderBy(F.asc("doc_id")).limit(100)
+    )
+
+
+_WITHIN_UNIT_SQL = f"""
+WITH {oracle.TOKS_CTE},
+b AS (
+  SELECT doc_id, list_sort(list(pos)) AS barr
+  FROM posting WHERE term = 'line' GROUP BY doc_id
+),
+u1 AS (
+  SELECT DISTINCT p.doc_id,
+         coalesce(len(list_filter(b.barr, x -> x < p.pos)), 0) AS unit
+  FROM posting p LEFT JOIN b USING (doc_id) WHERE p.term = 'merge'
+),
+u2 AS (
+  SELECT DISTINCT p.doc_id,
+         coalesce(len(list_filter(b.barr, x -> x < p.pos)), 0) AS unit
+  FROM posting p LEFT JOIN b USING (doc_id) WHERE p.term = 'sort'
+)
+SELECT DISTINCT doc_id FROM u1 JOIN u2 USING (doc_id, unit)
+ORDER BY doc_id ASC LIMIT 100
+"""
+
+
 from idzebra_spark import oracle_ml  # noqa: E402
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
@@ -528,6 +863,22 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "wand_bm25_highdf": (q_wand_bm25_highdf, oracle.bm25_topk_sql(["the", "data", "key"], 10, "or")),
     "wand_bm25_not": (q_wand_bm25_not, _WAND_NOT_SQL),
     "wand_phrase": (q_wand_phrase, oracle.phrase_sql(["batch", "batch"], 10)),
+    "wand_phrase_highdf": (q_wand_phrase_highdf, oracle.phrase_sql(["value", "table"], 10)),
+    "wand_parsed_bool": (q_wand_parsed_bool, _WAND_PARSED_SQL),
+    "wand_fielded_search": (q_wand_fielded_search, _FIELDED_SQL),
+    "seg_trunc_prefix": (q_seg_trunc_prefix, oracle.trunc_prefix_sql("sc", 100)),
+    "trunc_suffix": (q_trunc_suffix, _trunc_docs_sql("%am", 100)),
+    "trunc_both": (q_trunc_both, _trunc_docs_sql("%or%", 100)),
+    "trunc_z3958": (q_trunc_z3958, _z3958_docs_sql("b*ch", 100)),
+    "seg_regex_terms": (q_seg_regex_terms, oracle.regex_terms_sql("^s[a-z]*t$", 100)),
+    "seg_scan_around": (q_seg_scan_around, _SCAN_AROUND_SQL),
+    "seg_first_in_field": (q_seg_first_in_field, _FIRST_IN_FIELD_SQL),
+    "seg_prox_unordered": (q_seg_prox, oracle.prox_sql("merge", "sort", 3, 100)),
+    "seg_facets": (q_seg_facets, oracle.facet_sql(["merge", "sort"], "source", 10)),
+    "seg_snippets": (q_seg_snippets, oracle.snippet_sql("merge", 2, 10)),
+    "rank2": (q_rank2, _RANK2_SQL),
+    "between_scope": (q_between_scope, _BETWEEN_SQL),
+    "within_unit": (q_within_unit, _WITHIN_UNIT_SQL),
     "bool_not": (q_bool_not, oracle.bool_not_sql("merge", "sort", 100)),
     "prox_unordered": (q_prox, oracle.prox_sql("merge", "sort", 3, 100)),
     "trunc_prefix": (q_trunc_prefix, oracle.trunc_prefix_sql("sc", 100)),

@@ -245,6 +245,73 @@ class PostingsOps:
             .limit(n)
         )
 
+    # --------------------------------------------- structural scoping
+
+    def between(self, middle: str, left: str, right: str) -> DataFrame:
+        """rsbetween — hits of the middle rset whose position lies
+        inside a left..right tag span (/root/reference/rset/
+        rsbetween.c:21-28: 'Shakespeare' between '<author>' and
+        '</author>'; the reader tracks open-tag depth). Depth at
+        position p = count(left.pos <= p) - count(right.pos < p) > 0.
+        Declarative form: per-doc sorted marker arrays + a counting
+        filter — no per-row Python."""
+        marks = (
+            self.posting.where(F.col("term").isin([left, right]))
+            .groupBy("doc_id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("term") == left, F.col("pos"))
+                    )
+                ).alias("starts"),
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("term") == right, F.col("pos"))
+                    )
+                ).alias("ends"),
+            )
+        )
+        mid = self.term_positions(middle)
+        depth = (
+            F.size(F.filter("starts", lambda s: s <= F.col("pos")))
+            - F.size(F.filter("ends", lambda e: e < F.col("pos")))
+        )
+        return (
+            mid.join(marks, "doc_id")
+            .where(depth > 0)
+            .select("doc_id").distinct()
+        )
+
+    def within_unit(self, t1: str, t2: str, boundary: str) -> DataFrame:
+        """search_group unit scoping — Zebra resolves 'within
+        sentence/paragraph' via a dedicated group index
+        (/root/reference/index/rpnsearch.c:1433-1461). Here the unit
+        id of a posting is derived from boundary-marker positions:
+        unit(p) = count(boundary.pos < p); t1 and t2 must share a
+        unit instance in the same doc."""
+        b = (
+            self.term_positions(boundary)
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("pos")).alias("barr"))
+        )
+
+        def unit_of(posting: DataFrame) -> DataFrame:
+            j = posting.join(b, "doc_id", "left").select(
+                "doc_id",
+                F.size(
+                    F.filter(
+                        F.coalesce(F.col("barr"),
+                                   F.array().cast("array<int>")),
+                        lambda x: x < F.col("pos"),
+                    )
+                ).alias("unit"),
+            )
+            return j.distinct()
+
+        u1 = unit_of(self.term_positions(t1))
+        u2 = unit_of(self.term_positions(t2))
+        return u1.join(u2, ["doc_id", "unit"]).select("doc_id").distinct()
+
     # ------------------------------------------------- result-set refs
 
     def store_set(self, name: str, hits: DataFrame) -> DataFrame:

@@ -209,6 +209,65 @@ def _build_norms(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def content_sha(text_col: str, field_cols: list[str]) -> F.Column:
+    """Per-row content invariant. With indexed fields the hash covers
+    the field values too, so a field-only edit is seen by the
+    update-diff (null fields hash as empty)."""
+    if not field_cols:
+        return F.sha2(F.col(text_col), 256)
+    return F.sha2(
+        F.concat_ws(
+            "\x1e",
+            F.col(text_col),
+            *[F.coalesce(F.col(c).cast("string"), F.lit(""))
+              for c in field_cols],
+        ),
+        256,
+    )
+
+
+def fielded_postings(src: DataFrame,
+                     fields: dict[str, list[str]]) -> DataFrame:
+    """Composite-key postings for extra indexed fields, unioned with
+    the body-text postings. Zebra prefixes every dictionary term with
+    the SU-encoded field ordinal (/root/reference/util/su_codec.c:
+    32-76, applied at /root/reference/index/rpnsearch.c:1269-1272); a
+    ``field\\x1fterm`` composite string key is the same trick.
+    Index types (tab/default.idx): 'w' = word-split (one posting per
+    token, field-local positions), 'p' = complete-field (the whole
+    normalized value is ONE token at pos 1,
+    /root/reference/index/extract.c:1723-1731)."""
+    from idzebra_spark.operators.boolean import FIELD_SEP
+
+    parts = [tokenize(src, "text", "doc_id")]
+    for col in fields.get("w", []):
+        parts.append(
+            tokenize(src, col, "doc_id").withColumn(
+                "term", F.concat(F.lit(col + FIELD_SEP), F.col("term"))
+            )
+        )
+    for col in fields.get("p", []):
+        parts.append(
+            src.select(
+                "doc_id",
+                F.concat(
+                    F.lit(col + FIELD_SEP),
+                    F.array_join(tokenize_array(F.col(col)), " "),
+                ).alias("term"),
+                F.lit(1).cast("int").alias("pos"),
+            )
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _field_cols(fields: dict[str, list[str]] | None) -> list[str]:
+    if not fields:
+        return []
+    return sorted({c for cols in fields.values() for c in cols})
+
+
 def _lineage_path(path: str) -> str:
     return f"{path}/lineage"
 
@@ -232,9 +291,17 @@ def build_index(
     store_positions: bool = True,
     resume: bool = True,
     fail_after_shards: int | None = None,
-    reindex_shards: list[int] | None = None,
+    reindex_shards: "list[int] | DataFrame | None" = None,
+    fields: dict[str, list[str]] | None = None,
 ) -> dict:
     """Build (or resume) the segment index at ``path``.
+
+    ``fields``: optional extra indexed fields beyond the body text —
+    ``{"w": ["source"], "p": ["lang"]}`` (Zebra index types: word /
+    complete-field). Their postings carry composite ``field\\x1fterm``
+    dictionary keys (see :func:`fielded_postings`), so the WAND/rset
+    engines query them like any other term. BM25 doclen/avgdl remain
+    body-text stats (field keys don't inflate norms).
 
     ``fail_after_shards`` is a test hook: restrict this batch to the
     first N pending shards, simulating a crash/partial build that a
@@ -255,12 +322,24 @@ def build_index(
         done_shards = lineage.select("shard").distinct()
     batch = f"b{build_seq:05d}"
 
+    fcols = _field_cols(fields)
     src = corpus.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"),
+        *[F.col(c) for c in fcols],
     ).withColumn("shard", shard_expr(shard_size))
 
+    reindex_df: DataFrame | None = None
     if reindex_shards is not None:
-        src = src.where(F.col("shard").isin(list(reindex_shards)))
+        # list (test convenience) or DataFrame['shard'] (the scale
+        # path: update_index passes the changed-shard set as a
+        # DataFrame — never a driver-side list of 10^6 shards)
+        if isinstance(reindex_shards, DataFrame):
+            reindex_df = reindex_shards.select(
+                F.col("shard").cast("long")).distinct()
+        else:
+            reindex_df = spark.createDataFrame(
+                [(int(s),) for s in reindex_shards], "shard long")
+        src = src.join(reindex_df, "shard", "semi")
     elif resume and done_shards is not None:
         src = src.join(done_shards, "shard", "left_anti")
     if fail_after_shards is not None:
@@ -271,7 +350,7 @@ def build_index(
         ]
         src = src.where(F.col("shard").isin(keep))
 
-    if src.isEmpty() and not reindex_shards:
+    if src.isEmpty() and reindex_shards is None:
         return {"batch": None, "shards": 0, "docs": 0}
 
     verbose = os.environ.get("IDZEBRA_BUILD_VERBOSE") == "1"
@@ -291,7 +370,7 @@ def build_index(
     meta = src.select(
         "shard", "doc_id",
         F.size(tokenize_array(F.col("text"))).alias("doclen"),
-        F.sha2(F.col("text"), 256).alias("sha256"),
+        content_sha("text", fcols).alias("sha256"),
     )
 
     # norms per shard (derived from the same single-scan projection)
@@ -308,9 +387,10 @@ def build_index(
     # vectorized encode kernel per shard. Written range-partitioned +
     # sorted by term so query-term predicates prune files via parquet
     # min/max stats.
-    toks = tokenize(src, "text", "doc_id").withColumn(
-        "shard", shard_expr(shard_size)
-    )
+    toks = (
+        fielded_postings(src, fields) if fields
+        else tokenize(src, "text", "doc_id")
+    ).withColumn("shard", shard_expr(shard_size))
     aggs = [F.count("*").alias("tf")]
     if store_positions:
         aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
@@ -393,14 +473,11 @@ def build_index(
         ),
     )
     doc_counts = meta.groupBy("shard").agg(F.count("*").alias("docs_indexed"))
-    if reindex_shards is not None:
+    if reindex_df is not None:
         # tombstones: every requested shard gets a lineage row, even if
         # all of its docs were deleted — otherwise the stale batch
         # would keep winning at read time
-        requested = spark.createDataFrame(
-            [(int(s),) for s in reindex_shards], "shard long"
-        )
-        doc_counts = requested.join(doc_counts, "shard", "left")
+        doc_counts = reindex_df.join(doc_counts, "shard", "left")
     lineage_rows = (
         doc_counts
         .join(per_shard_blocks, "shard", "left")
@@ -501,6 +578,7 @@ def update_index(
     shard_size: int = DEFAULT_SHARD_SIZE,
     block_size: int = DEFAULT_BLOCK_SIZE,
     store_positions: bool = True,
+    fields: dict[str, list[str]] | None = None,
 ) -> dict:
     """Incrementally sync the index to a new corpus snapshot.
 
@@ -512,11 +590,16 @@ def update_index(
     against the indexed doc_meta by (doc_id, sha256); every shard
     containing an added/changed/deleted doc is rebuilt from the new
     snapshot in one batch (readers pick the latest build_seq per
-    shard). Unchanged shards are untouched — no read, no write.
+    shard). Unchanged shards are untouched — no read, no write. The
+    changed-shard set stays a DataFrame end-to-end — nothing
+    shard-count-sized is ever collected to the driver (the 10^6-shard
+    case shuffles a few MB instead).
     """
+    fcols = _field_cols(fields)
     src = new_corpus.select(
         F.col(id_col).alias("doc_id"),
-        F.sha2(F.col(text_col), 256).alias("sha256"),
+        content_sha(text_col, fcols).alias("sha256"),
+        *[F.col(c) for c in fcols],
     ).withColumn("shard", shard_expr(shard_size))
 
     lineage = read_lineage(spark, path)
@@ -524,7 +607,7 @@ def update_index(
         m = build_index(
             spark, new_corpus, path, text_col=text_col, id_col=id_col,
             shard_size=shard_size, block_size=block_size,
-            store_positions=store_positions,
+            store_positions=store_positions, fields=fields,
         )
         m["changed_shards"] = m["shards"]
         return m
@@ -538,18 +621,29 @@ def update_index(
                 F.col("shard").alias("old_shard"))
     )
     diff = src.join(old, "doc_id", "full_outer")
-    changed = diff.where(
-        F.col("old_sha").isNull()                      # added
-        | F.col("sha256").isNull()                     # deleted
-        | (F.col("sha256") != F.col("old_sha"))        # modified
-    ).select(F.coalesce(F.col("shard"), F.col("old_shard")).alias("shard"))
-    shards = sorted(r["shard"] for r in changed.distinct().collect())
-    if not shards:
+    changed = (
+        diff.where(
+            F.col("old_sha").isNull()                  # added
+            | F.col("sha256").isNull()                 # deleted
+            | (F.col("sha256") != F.col("old_sha"))    # modified
+        )
+        .select(F.coalesce(F.col("shard"), F.col("old_shard")).alias("shard"))
+        .distinct()
+    )
+    # Materialize NOW (cache + count): the plan reads doc_meta, which
+    # build_index is about to append to — evaluating lazily inside the
+    # rebuild would see the new batch and change the answer.
+    changed = changed.persist()
+    n_changed = changed.count()
+    if n_changed == 0:
+        changed.unpersist()
         return {"batch": None, "shards": 0, "docs": 0, "changed_shards": 0}
     m = build_index(
         spark, new_corpus, path, text_col=text_col, id_col=id_col,
         shard_size=shard_size, block_size=block_size,
-        store_positions=store_positions, reindex_shards=shards,
+        store_positions=store_positions, reindex_shards=changed,
+        fields=fields,
     )
-    m["changed_shards"] = len(shards)
+    changed.unpersist()
+    m["changed_shards"] = n_changed
     return m

@@ -286,11 +286,70 @@ def _decode_block_rows(g: pd.DataFrame, want_positions: bool):
     return d[o], tfv[o], p
 
 
+def _gather_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Flat indices covering [starts[i], starts[i]+counts[i]) for all i
+    — the vectorized multi-range gather (no Python loop)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    cs = np.cumsum(counts)
+    shift = np.concatenate(([0], cs[:-1]))
+    return np.arange(total, dtype=np.int64) + np.repeat(starts - shift, counts)
+
+
+_POS_SHIFT = 42  # doc-rank packed above a 42-bit position space
+
+
+def _phrase_match(decoded: dict, term_order: list[str],
+                  cand: np.ndarray | None = None):
+    """Vectorized exact-phrase matcher: (docs, n_occ).
+
+    ``decoded[t] = (docids, tok_off, positions)`` with positions flat
+    and per-doc slices given by tok_off. The rsprox ordered distance-1
+    chain (/root/reference/rset/rsprox.c:162-213) becomes, per term i,
+    the key set {doc_rank << 42 | (pos - i + len)} over candidate
+    docs, intersected across terms — fully vectorized across ALL
+    candidate docs at once (no per-doc Python loop; a phrase of two
+    high-df tokens stays numpy-speed)."""
+    m = len(term_order)
+    # cand must be a subset of every term's doc list (searchsorted
+    # below assumes membership) — intersect unconditionally
+    for t in set(term_order):
+        d = decoded[t][0]
+        cand = d if cand is None else np.intersect1d(cand, d)
+    if cand is None or cand.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    keys = None
+    for i, t in enumerate(term_order):
+        d, tok_off, p = decoded[t]
+        j = np.searchsorted(d, cand)
+        starts, ends = tok_off[j], tok_off[j + 1]
+        cnt = ends - starts
+        flat = _gather_ranges(starts, cnt)
+        doc_rank = np.repeat(np.arange(cand.size, dtype=np.int64), cnt)
+        # shifted position; +m keeps it positive for any i < m
+        key = (doc_rank << _POS_SHIFT) | (p[flat] - i + m)
+        keys = key if keys is None else np.intersect1d(
+            keys, key, assume_unique=True)
+        if keys.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+    ranks, occ = np.unique(keys >> _POS_SHIFT, return_counts=True)
+    return cand[ranks], occ.astype(np.int64)
+
+
+def _decode_with_offsets(g: pd.DataFrame, want_positions: bool):
+    """_decode_block_rows + token-offset index: (d, tfv, tok_off, p)."""
+    d, tfv, p = _decode_block_rows(g, want_positions)
+    tok_off = np.zeros(d.size + 1, dtype=np.int64)
+    np.cumsum(tfv, out=tok_off[1:])
+    return d, tfv, tok_off, p
+
+
 def _phrase_kernel(term_order: list[str]):
     """Per-shard exact-phrase matcher over stored positions — the
     rsprox ordered distance-1 chain (/root/reference/rset/rsprox.c:
-    162-213) evaluated as per-doc sorted-set intersections of
-    position arrays shifted by the token offset."""
+    162-213), vectorized across all candidate docs (see
+    :func:`_phrase_match`)."""
 
     empty = pd.DataFrame({
         "doc_id": pd.Series([], dtype="int64"),
@@ -304,38 +363,234 @@ def _phrase_kernel(term_order: list[str]):
         if any(t not in by_term for t in term_order):
             return empty
         decoded = {}
-        cand = None
         for t in set(term_order):
-            d, tfv, p = _decode_block_rows(by_term[t], True)
-            tok_off = np.zeros(d.size + 1, dtype=np.int64)
-            np.cumsum(tfv, out=tok_off[1:])
+            d, tfv, tok_off, p = _decode_with_offsets(by_term[t], True)
             decoded[t] = (d, tok_off, p)
-            cand = d if cand is None else np.intersect1d(
-                cand, d, assume_unique=True
-            )
-            if cand.size == 0:
-                return empty
-        out_docs, out_occ = [], []
-        for doc in cand:
-            match = None
-            for i, t in enumerate(term_order):
-                d, tok_off, p = decoded[t]
-                j = np.searchsorted(d, doc)
-                pos = p[tok_off[j]:tok_off[j + 1]]
-                shifted = pos - i
-                match = shifted if match is None else np.intersect1d(
-                    match, shifted, assume_unique=False
-                )
-                if match.size == 0:
-                    break
-            if match is not None and match.size:
-                out_docs.append(int(doc))
-                out_occ.append(int(match.size))
-        if not out_docs:
+        docs, occ = _phrase_match(decoded, term_order)
+        if docs.size == 0:
             return empty
-        return pd.DataFrame({"doc_id": out_docs, "n_occ": out_occ})
+        return pd.DataFrame({"doc_id": docs, "n_occ": occ})
 
     return fn
+
+
+def z3958_to_regex(pattern: str) -> str:
+    """Z39.58 masking (attr 5=104) → anchored regex — the exact
+    translation of term_104 (/root/reference/index/rpnsearch.c:
+    502-567): '?' alone = any sequence ('.*'), '?n' = up to n chars
+    ('.?' × n, n capped at 20), '*' = any sequence, '#' = exactly one
+    character."""
+    import re as _re
+
+    out, i = ["^"], 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "?":
+            i += 1
+            j = i
+            while j < len(pattern) and pattern[j].isdigit():
+                j += 1
+            if j > i:
+                out.append(".?" * min(int(pattern[i:j]), 20))
+                i = j
+            else:
+                out.append(".*")
+        elif c == "*":
+            out.append(".*")
+            i += 1
+        elif c == "#":
+            out.append(".")
+            i += 1
+        else:
+            out.append(_re.escape(c))
+            i += 1
+    out.append("$")
+    return "".join(out)
+
+
+RSET_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("raw", T.DoubleType()),
+])
+
+POSTINGS_SCHEMA = T.StructType([
+    T.StructField("term", T.StringType()),
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("tf", T.IntegerType()),
+    T.StructField("positions", T.ArrayType(T.LongType())),
+])
+
+
+def _tree_terms(tree) -> tuple[set, set]:
+    """(plain_terms, phrase_terms) referenced anywhere in the tree."""
+    op = tree[0]
+    if op == "term":
+        return {tree[1]}, set()
+    if op == "terms":
+        return set(tree[1]), set()
+    if op == "phrase":
+        return set(), set(tree[1])
+    if op == "not":
+        a1, a2 = _tree_terms(tree[1])
+        b1, b2 = _tree_terms(tree[2])
+        return a1 | b1, a2 | b2
+    if op in ("and", "or"):
+        p, f = set(), set()
+        for c in tree[1]:
+            c1, c2 = _tree_terms(c)
+            p |= c1
+            f |= c2
+        return p, f
+    raise ValueError(f"unknown tree node {op!r}")
+
+
+def tree_rank_terms(tree) -> list[str]:
+    """Positive ranking terms: term/phrase leaves not under a NOT's
+    right branch; truncation expansions ('terms') are excluded from
+    ranking (Zebra ranks the query's own APT terms,
+    /root/reference/index/zsets.c:1104-1131)."""
+    op = tree[0]
+    if op == "term":
+        return [tree[1]]
+    if op == "terms":
+        return []
+    if op == "phrase":
+        return list(tree[1])
+    if op == "not":
+        return tree_rank_terms(tree[1])
+    if op in ("and", "or"):
+        out = []
+        for c in tree[1]:
+            out.extend(tree_rank_terms(c))
+        return out
+    return []
+
+
+def _rset_kernel(tree, term_idf, avgdl, rank_order, k, k1=K1, b=B):
+    """Per-shard rset-DAG evaluator + BM25 ranker — the Spark twin of
+    rpn_search_structure evaluating the whole boolean tree over ISAMB
+    leaf streams (/root/reference/index/rpnsearch.c:2567-2772), then
+    resultSetRank with CORPUS-GLOBAL statistics (term_idf carries the
+    global df; avgdl/N come from the full norms table). One cogrouped
+    pass per shard: decode → set algebra (numpy sorted-set ops) →
+    score → bounded top-k cut under the milli tie discipline."""
+    plain, phrased = _tree_terms(tree)
+    want_pos = bool(phrased)
+
+    empty = pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "raw": pd.Series([], dtype="float64"),
+    })
+    E = np.empty(0, np.int64)
+
+    def fn(blocks: pd.DataFrame, norms: pd.DataFrame) -> pd.DataFrame:
+        if len(blocks) == 0:
+            return empty
+        by_term = {t: g for t, g in blocks.groupby("term", sort=False)}
+        docs_of: dict[str, tuple] = {}
+        pos_of: dict[str, tuple] = {}
+        for t in (plain | phrased):
+            if t not in by_term:
+                continue
+            need_p = want_pos and t in phrased
+            d, tfv, tok_off, p = _decode_with_offsets(by_term[t], need_p)
+            docs_of[t] = (d, tfv)
+            if need_p:
+                pos_of[t] = (d, tok_off, p)
+
+        def ev(node) -> np.ndarray:
+            op = node[0]
+            if op == "term":
+                return docs_of.get(node[1], (E, E))[0]
+            if op == "terms":
+                parts = [docs_of[t][0] for t in node[1] if t in docs_of]
+                if not parts:
+                    return E
+                # rset_trunc dedup rule (index/trunc.c:149,200)
+                return np.unique(np.concatenate(parts))
+            if op == "phrase":
+                if any(t not in pos_of for t in node[1]):
+                    return E
+                return _phrase_match(pos_of, list(node[1]))[0]
+            if op == "and":
+                # smallest-first child ordering (rsmultiandor.c:26-31)
+                kids = sorted((ev(c) for c in node[1]), key=lambda a: a.size)
+                out = kids[0]
+                for a in kids[1:]:
+                    if out.size == 0:
+                        return E
+                    out = np.intersect1d(out, a, assume_unique=True)
+                return out
+            if op == "or":
+                parts = [a for a in (ev(c) for c in node[1]) if a.size]
+                if not parts:
+                    return E
+                return np.unique(np.concatenate(parts))
+            if op == "not":
+                a = ev(node[1])
+                if a.size == 0:
+                    return E
+                return np.setdiff1d(a, ev(node[2]), assume_unique=True)
+            raise ValueError(f"unknown tree node {op!r}")
+
+        docs = ev(tree)
+        if docs.size == 0:
+            return empty
+        if not rank_order:
+            return pd.DataFrame({
+                "doc_id": docs.astype(np.int64),
+                "raw": np.zeros(docs.size, dtype=np.float64),
+            })
+        if len(norms) == 0:
+            return empty
+        nd_docids, nd_dls = _decode_norms(norms)
+        dl = nd_dls[np.searchsorted(nd_docids, docs)]
+        raw = np.zeros(docs.size, dtype=np.float64)
+        for t in rank_order:
+            if t not in docs_of:
+                continue
+            d, tfv = docs_of[t]
+            idx = np.searchsorted(d, docs)
+            ok = (idx < d.size)
+            ok[ok] = d[idx[ok]] == docs[ok]
+            if not ok.any():
+                continue
+            raw[ok] += term_idf[t] * _bm25_tf(tfv[idx[ok]], dl[ok], avgdl,
+                                              k1, b)
+        if k is not None and docs.size > k:
+            milli = np.floor(raw * 10000.0 + 0.5).astype(np.int64)
+            sel = np.lexsort((docs, -milli))[:k]
+            docs, raw = docs[sel], raw[sel]
+        return pd.DataFrame({"doc_id": docs.astype(np.int64), "raw": raw})
+
+    return fn
+
+
+def _decode_rows_flat(pdf: pd.DataFrame, want_positions: bool):
+    """Decode arbitrary block rows (possibly many terms) into flat
+    posting arrays, preserving row order — each block is
+    self-contained (delta base resets at block start, positions reset
+    per doc), so no per-group reassembly is needed."""
+    n_docs = pdf["n_docs"].to_numpy(np.int64)
+    d, tfv = _decode_docids_tfs(
+        [bytes(x) for x in pdf["docids_bin"]],
+        [bytes(x) for x in pdf["tfs_bin"]],
+        n_docs,
+    )
+    term_rep = np.repeat(pdf["term"].to_numpy(object), n_docs)
+    pos_lists = None
+    if want_positions and d.size:
+        pdeltas = varint_decode(
+            b"".join(bytes(x) for x in pdf["pos_bin"])
+        ).astype(np.int64)
+        starts = np.zeros(d.size + 1, dtype=np.int64)
+        np.cumsum(tfv, out=starts[1:])
+        doc_starts = starts[:-1]
+        cs = np.cumsum(pdeltas)
+        base = cs[doc_starts] - pdeltas[doc_starts]
+        p = cs - np.repeat(base, tfv)
+        pos_lists = np.split(p, starts[1:-1])
+    return term_rep, d, tfv, pos_lists
 
 
 class SegmentIndex:
@@ -494,6 +749,128 @@ class SegmentIndex:
             .orderBy(F.desc("score_milli"), F.asc("doc_id"))
             .limit(k)
         )
+
+    # ------------------------------------------------ rset-DAG queries
+
+    MAX_EXPAND = 10000  # truncation fan-out bound (dict grep limit)
+
+    def expand(self, kind: str, pattern: str) -> list[str]:
+        """Dictionary truncation expansion — Zebra's dict_lookup_grep
+        over the term dictionary (/root/reference/index/rpnsearch.c:
+        1148-1254): 'prefix' = right trunc (attr 5=1), 'suffix' = left
+        trunc (5=2), 'contains' = both (5=3), 'regex' = regexp-1
+        (5=102), 'z3958' = ?n/# masking (5=104). Returns the sorted
+        matching terms (bounded by MAX_EXPAND)."""
+        d = self.dictionary().select("term")
+        pat = pattern.lower()
+        if kind == "prefix":
+            d = d.where(F.col("term").startswith(pat))
+        elif kind == "suffix":
+            d = d.where(F.col("term").endswith(pat))
+        elif kind == "contains":
+            d = d.where(F.col("term").contains(pat))
+        elif kind == "regex":
+            d = d.where(F.col("term").rlike(pattern))
+        elif kind == "z3958":
+            d = d.where(F.col("term").rlike(z3958_to_regex(pat)))
+        else:
+            raise ValueError(f"unknown expansion kind {kind!r}")
+        rows = d.limit(self.MAX_EXPAND + 1).collect()
+        if len(rows) > self.MAX_EXPAND:
+            raise ValueError(
+                f"truncation {kind}:{pattern!r} expands past "
+                f"{self.MAX_EXPAND} terms")
+        return sorted(r["term"] for r in rows)
+
+    def _expand_tree(self, tree):
+        """Replace truncation leaves with ('terms', [...]) lists."""
+        op = tree[0]
+        if op in ("prefix", "suffix", "contains", "regex", "z3958"):
+            return ("terms", self.expand(op, tree[1]))
+        if op in ("and", "or"):
+            return (op, [self._expand_tree(c) for c in tree[1]])
+        if op == "not":
+            return ("not", self._expand_tree(tree[1]),
+                    self._expand_tree(tree[2]))
+        return tree
+
+    def _tree_run(self, tree, rank_terms: list[str], k: int | None):
+        tree = self._expand_tree(tree)
+        plain, phrased = _tree_terms(tree)
+        all_terms = sorted(plain | phrased)
+        if not all_terms:
+            return self._empty_result().select("doc_id",
+                                               F.lit(0.0).alias("raw"))
+        n_docs, avgdl = self.stats()
+        rank_terms = sorted(set(t.lower() for t in rank_terms))
+        info = self.lookup_terms(rank_terms)
+        term_idf = {
+            t: math.log(1.0 + (n_docs - d["df"] + 0.5) / (d["df"] + 0.5))
+            for t, d in info.items()
+        }
+        rank_order = [t for t in rank_terms if t in term_idf]
+        blk = self.blocks.where(F.col("term").isin(all_terms))
+        nrm = self.norms.join(blk.select("shard").distinct(), "shard", "semi")
+        kernel = _rset_kernel(tree, term_idf, avgdl, rank_order, k)
+        return (
+            blk.groupBy("shard")
+            .cogroup(nrm.groupBy("shard"))
+            .applyInPandas(kernel, RSET_SCHEMA)
+        )
+
+    def eval_tree(self, tree) -> DataFrame:
+        """Evaluate a boolean rset DAG over segment leaves → distinct
+        doc_id set. Tree nodes: ('term', t) | ('terms', [t..]) |
+        ('phrase', [t..]) | ('prefix'|'suffix'|'contains'|'regex'|
+        'z3958', pattern) | ('and'|'or', [children]) |
+        ('not', left, right)."""
+        return self._tree_run(tree, [], None).select("doc_id")
+
+    def search_tree(self, tree, k: int = 10,
+                    rank_terms: list[str] | None = None) -> DataFrame:
+        """Ranked structured search: evaluate the rset DAG, then BM25-
+        rank the matching docs with corpus-GLOBAL stats (N, avgdl,
+        per-term df) — scores are identical to what the flat WAND path
+        gives the same doc for the same terms (no subset statistics).
+        Returns (doc_id, score_milli) under the milli tie discipline."""
+        if rank_terms is None:
+            rank_terms = tree_rank_terms(tree)
+        out = self._tree_run(tree, rank_terms, k)
+        return (
+            out.select(
+                "doc_id",
+                F.round(F.col("raw") * 10000, 0).cast("long")
+                .alias("score_milli"),
+            )
+            .orderBy(F.desc("score_milli"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def term_postings(self, terms: list[str],
+                      with_positions: bool = True) -> DataFrame:
+        """Decoded postings (term, doc_id, tf, positions) for a term
+        set — the segment-backed replacement for re-tokenizing the
+        corpus (positions come from pos_bin; the scan is pruned to the
+        requested terms by parquet min/max stats). Each (term, doc_id)
+        appears exactly once (a doc lives in one shard)."""
+        terms = sorted(set(t.lower() for t in terms))
+        blk = self.blocks.where(F.col("term").isin(terms))
+        want_pos = with_positions
+
+        def gen(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                term_rep, d, tfv, pos_lists = _decode_rows_flat(pdf, want_pos)
+                yield pd.DataFrame({
+                    "term": term_rep,
+                    "doc_id": d.astype(np.int64),
+                    "tf": tfv.astype(np.int32),
+                    "positions": (pos_lists if want_pos and pos_lists
+                                  is not None else [None] * d.size),
+                })
+
+        return blk.mapInPandas(gen, POSTINGS_SCHEMA)
 
     def approx_count(self, terms: list[str], mode: str = "or",
                      sample: float = 0.25) -> int:

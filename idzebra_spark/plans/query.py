@@ -44,6 +44,21 @@ class Node:
             return Node(self.op, children=kids)
         return Node(self.op, self.value, [c.flatten() for c in self.children])
 
+    def to_rset_tree(self):
+        """Convert to the segment engine's tree format
+        (operators.wand._rset_kernel) — the rset DAG evaluated over
+        ISAMB-leaf block streams instead of a re-tokenized corpus."""
+        if self.op == "term":
+            return ("term", self.value)
+        if self.op == "prefix":
+            return ("prefix", self.value)
+        if self.op == "phrase":
+            return ("phrase", self.value.split())
+        if self.op == "not":
+            return ("not", self.children[0].to_rset_tree(),
+                    self.children[1].to_rset_tree())
+        return (self.op, [c.to_rset_tree() for c in self.children])
+
     def terms(self) -> list[str]:
         """Positive leaf terms (for ranking)."""
         if self.op == "term":

@@ -1,0 +1,181 @@
+"""Round-2 feature tests: fielded segment index, rset-DAG evaluation
+with global-stat ranking, vectorized phrase, truncation forms,
+rsbetween / unit scoping, and the segment postings accessor."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from idzebra_spark.operators.boolean import PostingsOps, fielded_term
+from idzebra_spark.operators.segment import build_index
+from idzebra_spark.operators.wand import SegmentIndex, z3958_to_regex
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "alpha beta gamma line alpha sort", "en", "s1"),
+        (1, "beta gamma delta merge line merge sort", "en", "s2"),
+        (2, "window merge group window beta merge group", "de", "s1"),
+        (3, "merge window beta group merge", "en", "s2"),
+        (4, "alpha alpha beta beta streaming dream", "fr", "s1"),
+        (5, "window group merge", "en", "s1"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "lang string, source string")
+
+
+@pytest.fixture(scope="module")
+def idx(spark, corpus):
+    path = tempfile.mkdtemp(prefix="t_r2_") + "/idx"
+    build_index(spark, corpus, path, shard_size=2, block_size=4,
+                fields={"w": ["source"], "p": ["lang"]})
+    return SegmentIndex(spark, path)
+
+
+def test_fielded_keys_in_dictionary(idx):
+    terms = {r["term"] for r in idx.dictionary().collect()}
+    assert fielded_term("source", "s1") in terms
+    assert fielded_term("lang", "en") in terms
+    assert "merge" in terms  # body terms unprefixed
+
+
+def test_fielded_and_query(idx, corpus):
+    tree = ("and", [
+        ("term", fielded_term("source", "s1")),
+        ("term", fielded_term("lang", "en")),
+        ("term", "merge"),
+    ])
+    got = sorted(r["doc_id"] for r in idx.eval_tree(tree).collect())
+    # logical-path twin
+    ops = PostingsOps(corpus, fields={"w": ["source"], "p": ["lang"]})
+    want = sorted(r["doc_id"] for r in ops.and_([
+        ops.term_docs(fielded_term("source", "s1")),
+        ops.term_docs(fielded_term("lang", "en")),
+        ops.term_docs("merge"),
+    ]).collect())
+    assert got == want == [5]
+
+
+def test_fielded_norms_are_body_only(idx, corpus):
+    n, avgdl = idx.stats()
+    from idzebra_spark.functions.tokenizer import tokenize_array
+    want = corpus.select(
+        F.avg(F.size(tokenize_array(F.col("text")))).alias("a")
+    ).collect()[0]["a"]
+    assert n == 6 and abs(avgdl - want) < 1e-9
+
+
+def test_search_tree_matches_flat_wand(idx):
+    """Structured OR must score exactly like the flat WAND path —
+    the global-statistics invariant (no subset stats)."""
+    flat = idx.topk(["merge", "beta"], k=10, mode="or").collect()
+    tree = idx.search_tree(("or", [("term", "merge"), ("term", "beta")]),
+                           k=10).collect()
+    assert [(r["doc_id"], r["score_milli"]) for r in flat] == \
+           [(r["doc_id"], r["score_milli"]) for r in tree]
+
+
+def test_search_tree_not_and_phrase(idx):
+    tree = ("not",
+            ("and", [("term", "merge"), ("term", "beta")]),
+            ("phrase", ["merge", "group"]))
+    docs = sorted(r["doc_id"] for r in idx.eval_tree(tree).collect())
+    # merge&beta = {1,2,3}; phrase "merge group" = {2} (pos 6-7? doc2:
+    # window merge group ... merge group -> yes) and doc5 w/o beta
+    assert 2 not in docs
+    assert set(docs) <= {1, 3}
+
+
+def test_phrase_highdf_vectorized(idx, corpus):
+    """Vectorized phrase == logical positional join."""
+    got = {(r["doc_id"], r["n_occ"])
+           for r in idx.phrase(["merge", "group"], k=10).collect()}
+    ops = PostingsOps(corpus)
+    want = {(r["doc_id"], r["n_occ"])
+            for r in ops.phrase(["merge", "group"]).collect()}
+    assert got == want and got  # non-empty
+
+
+def test_truncation_forms(idx):
+    assert idx.expand("prefix", "al") == ["alpha"]
+    assert idx.expand("suffix", "ing") == ["streaming"]
+    assert set(idx.expand("contains", "eam")) == {"dream", "streaming"}
+    assert idx.expand("z3958", "b#ta") == ["beta"]
+    assert idx.expand("z3958", "merge?2") == ["merge"]  # ?2 = 0..2 chars
+    docs = sorted(r["doc_id"]
+                  for r in idx.eval_tree(("suffix", "ing")).collect())
+    assert docs == [4]
+
+
+def test_z3958_translation():
+    assert z3958_to_regex("b#ta") == "^b.ta$"
+    assert z3958_to_regex("ab*") == "^ab.*$"
+    assert z3958_to_regex("a?3b") == "^a.?.?.?b$"
+    assert z3958_to_regex("a?b") == "^a.*b$"
+    assert z3958_to_regex("a.c") == r"^a\.c$"
+
+
+def test_between_scope(spark, corpus):
+    ops = PostingsOps(corpus)
+    docs = sorted(r["doc_id"]
+                  for r in ops.between("merge", "window", "group").collect())
+    # doc2: merge@2 inside window@1..group@3, merge@6 inside window@4..
+    # group@7 -> hit. doc3: merge@1 before window@2 (depth 0); merge@5
+    # after group@4 (depth 0) -> no. doc5: merge@3 after group@2 -> no.
+    assert docs == [2]
+
+
+def test_within_unit(spark, corpus):
+    ops = PostingsOps(corpus)
+    docs = sorted(r["doc_id"]
+                  for r in ops.within_unit("merge", "sort", "line").collect())
+    # doc1: units split at 'line'@5: unit0 = beta gamma delta merge,
+    # unit1 = merge sort -> merge+sort share unit1. doc0: sort unit1,
+    # no merge at all.
+    assert docs == [1]
+
+
+def test_term_postings_roundtrip(idx, corpus):
+    """Segment-decoded postings == tokenizer-derived postings."""
+    from idzebra_spark.functions.tokenizer import tokenize
+
+    got = {
+        (r["term"], r["doc_id"], r["tf"], tuple(r["positions"]))
+        for r in idx.term_postings(["merge", "beta"]).collect()
+    }
+    want_rows = (
+        tokenize(corpus).where(F.col("term").isin(["merge", "beta"]))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"),
+             F.sort_array(F.collect_list("pos")).alias("positions"))
+        .collect()
+    )
+    want = {(r["term"], r["doc_id"], r["tf"],
+             tuple(int(x) for x in r["positions"])) for r in want_rows}
+    assert got == want
+
+
+def test_fielded_update_diff(spark, corpus, tmp_path):
+    """A field-only change must be caught by the update diff
+    (content_sha covers field values)."""
+    from idzebra_spark.operators.segment import update_index
+
+    path = str(tmp_path / "idx")
+    fields = {"w": ["source"], "p": ["lang"]}
+    build_index(spark, corpus, path, shard_size=2, block_size=4,
+                fields=fields)
+    changed = corpus.withColumn(
+        "source",
+        F.when(F.col("doc_id") == 0, F.lit("s9")).otherwise(F.col("source")),
+    )
+    m = update_index(spark, changed, path, shard_size=2, block_size=4,
+                     fields=fields)
+    assert m["changed_shards"] == 1
+    idx2 = SegmentIndex(spark, path)
+    docs = sorted(r["doc_id"] for r in idx2.eval_tree(
+        ("term", fielded_term("source", "s9"))).collect())
+    assert docs == [0]
