@@ -354,11 +354,27 @@ def q_sim_cosine_topk(spark, sf_dir):
     return cosine_topk(emb, qv, k=10, exclude_id=0)
 
 
+_LSH_CACHE: dict[str, str] = {}
+
+
 def q_sim_lsh_topk(spark, sf_dir):
-    from idzebra_spark.operators.similarity import lsh_topk
+    """ANN over the PERSISTED bucket-partitioned LSH index: the probe
+    reads only the probed buckets' files (partition pruning), then
+    exact cosine re-rank — the 100 TB shape."""
+    from idzebra_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_topk_indexed,
+    )
 
     emb, qv = _query_vec(spark, sf_dir, 0)
-    return lsh_topk(emb, qv, k=10, n_planes=6, exclude_id=0)
+    if sf_dir not in _LSH_CACHE:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="idzebra_lsh_") + "/lsh"
+        build_lsh_index(emb, path, n_planes=6)
+        _LSH_CACHE[sf_dir] = path
+    return lsh_topk_indexed(spark, _LSH_CACHE[sf_dir], qv, k=10,
+                            n_planes=6, multiprobe_bits=1, exclude_id=0)
 
 
 def q_sim_ivf_topk(spark, sf_dir):
@@ -366,6 +382,18 @@ def q_sim_ivf_topk(spark, sf_dir):
 
     emb, qv = _query_vec(spark, sf_dir, 0)
     return ivf_topk(emb, qv, k=10, n_probe=2, exclude_id=0)
+
+
+def q_sim_ivf_kmeans(spark, sf_dir):
+    """IVF with LEARNED coarse quantizer: deterministic Lloyd k-means
+    labels replace the given label column, then the standard probe.
+    No SQL oracle (iterative); pytest checks determinism + recall."""
+    from idzebra_spark.operators.similarity import ivf_topk, kmeans_labels
+
+    emb, qv = _query_vec(spark, sf_dir, 0)
+    labels = kmeans_labels(emb, k=8, n_iter=3)
+    relabeled = emb.drop("label").join(labels, "vec_id")
+    return ivf_topk(relabeled, qv, k=10, n_probe=3, exclude_id=0)
 
 
 def q_scan_around(spark, sf_dir):
@@ -856,8 +884,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, oracle_ml.minhash_lsh_pairs_sql(0.5, 16, 4, 500)),
     "dedup_simhash": (q_dedup_simhash, oracle_ml.simhash_groups_sql(32)),
     "sim_cosine_topk": (q_sim_cosine_topk, oracle_ml.cosine_topk_sql(0, 10)),
-    "sim_lsh_topk": (q_sim_lsh_topk, None),   # ANN: recall vs brute in pytest
-    "sim_ivf_topk": (q_sim_ivf_topk, None),   # ANN: recall vs brute in pytest
+    "sim_lsh_topk": (q_sim_lsh_topk, oracle_ml.lsh_topk_sql(0, 10, 6, 1, 64)),
+    "sim_ivf_topk": (q_sim_ivf_topk, oracle_ml.ivf_topk_sql(0, 10, 2)),
+    "sim_ivf_kmeans": (q_sim_ivf_kmeans, None),  # iterative: pytest-checked
     "wand_bm25_or": (q_wand_bm25_or, oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
     "wand_bm25_and": (q_wand_bm25_and, oracle.bm25_topk_sql(["spark", "query"], 10, "and")),
     "wand_bm25_highdf": (q_wand_bm25_highdf, oracle.bm25_topk_sql(["the", "data", "key"], 10, "or")),

@@ -22,18 +22,31 @@ from pyspark.sql import functions as F
 
 # Zebra charmap: alphabet = [0-9a-z] after lowercasing; all else splits.
 # (tab/string.chr:8-14 — `lowercase {0-9}{a-z}`, `space {\001-\055 ...}`)
+# This is the DEFAULT — it matches the reference's shipped string.chr
+# and the DuckDB oracle contract, and it DROPS all non-Latin text
+# (documented limitation, pinned by tests/test_tokenizer.py).
 TOKEN_SPLIT_RE = "[^0-9a-z]+"
+
+# Unicode charmap: alphabet = any letter or decimal digit (the ICU
+# analogue of Zebra's icu.chr / charmap.c equivalence classes,
+# /root/reference/util/charmap.c, /root/reference/index/extract.c:
+# 1733-1749). Java regex classes run JVM-side like the ASCII one.
+TOKEN_SPLIT_RE_UNICODE = r"[^\p{L}\p{Nd}]+"
 
 MAX_TOKEN_LEN = 512  # IT_MAX_WORD, include/it_key.h:27
 
 
-def tokenize_array(text: Column) -> Column:
+def tokenize_array(text: Column, alphabet: str = "ascii") -> Column:
     """Return an ``array<string>`` of normalized tokens for ``text``.
 
     Pure column expression (JVM-side): lowercase, regex split, drop
-    empties, truncate to MAX_TOKEN_LEN.
+    empties, truncate to MAX_TOKEN_LEN. ``alphabet='unicode'`` keeps
+    any letter/digit (ICU-style); the default keeps [0-9a-z] only —
+    the reference's default charmap and the oracle contract.
     """
-    arr = F.split(F.lower(text), TOKEN_SPLIT_RE)
+    regex = (TOKEN_SPLIT_RE_UNICODE if alphabet == "unicode"
+             else TOKEN_SPLIT_RE)
+    arr = F.split(F.lower(text), regex)
     arr = F.filter(arr, lambda t: t != F.lit(""))
     return F.transform(arr, lambda t: F.substring(t, 1, MAX_TOKEN_LEN))
 

@@ -89,6 +89,41 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
     return bucket
 
 
+def query_bucket(query_vec: list[float], n_planes: int = 8,
+                 dim: int | None = None) -> int:
+    """Driver-side bucket of a query vector (same md5-derived planes
+    as :func:`lsh_bucket`) — O(n_planes × dim) scalar math."""
+    import hashlib
+
+    dim = dim or len(query_vec)
+
+    def w(p: int, d: int) -> float:
+        h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16)
+        return float(h % 2001 - 1000)
+
+    return sum(
+        (1 << p)
+        for p in range(n_planes)
+        if sum(query_vec[d] * w(p, d) for d in range(dim)) > 0
+    )
+
+
+def probe_buckets(qb: int, n_planes: int, multiprobe_bits: int = 1) -> list[int]:
+    """All bucket ids within Hamming distance ``multiprobe_bits`` of
+    the query bucket — the multi-probe set, enumerated driver-side
+    (|set| = sum of C(n_planes, i), metadata-sized)."""
+    from itertools import combinations
+
+    out = {qb}
+    for r in range(1, multiprobe_bits + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            out.add(qb ^ m)
+    return sorted(out)
+
+
 def lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
              dim: int | None = None, n_planes: int = 8,
              multiprobe_bits: int = 1,
@@ -96,43 +131,72 @@ def lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
              exclude_id: int | None = None) -> DataFrame:
     """ANN: exact cosine re-rank restricted to buckets within Hamming
     distance ``multiprobe_bits`` of the query's LSH bucket
-    (multi-probe LSH — recovers recall without more tables)."""
+    (multi-probe LSH — recovers recall without more tables).
+
+    This is the from-scratch form (computes the bucket per row). The
+    scale path is :func:`build_lsh_index` + :func:`lsh_topk_indexed`,
+    where the bucket is a stored PARTITION column and a probe reads
+    only the probed buckets' files."""
     dim = dim or len(query_vec)
-    import hashlib
-
-    # driver-side bucket of the query (same md5-derived planes)
-    def w(p: int, d: int) -> float:
-        h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16)
-        return float(h % 2001 - 1000)
-
-    qb = sum(
-        (1 << p)
-        for p in range(n_planes)
-        if sum(query_vec[d] * w(p, d) for d in range(dim)) > 0
-    )
+    qb = query_bucket(query_vec, n_planes, dim)
     vec = F.col(vec_col).cast("array<double>")
     bucketed = emb.withColumn("bucket", lsh_bucket(vec, dim, n_planes))
     cand = bucketed.where(
-        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qb)))
-        <= multiprobe_bits
+        F.col("bucket").isin(probe_buckets(qb, n_planes, multiprobe_bits))
     )
+    return cosine_topk(cand, query_vec, k, vec_col, id_col, exclude_id)
+
+
+def build_lsh_index(emb: DataFrame, path: str, n_planes: int = 8,
+                    dim: int | None = None, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> None:
+    """Persist the corpus bucket-partitioned: one directory per LSH
+    bucket. A probe then reads ONLY the probed buckets (partition
+    pruning — `PartitionFilters: bucket IN (...)` in the scan), so
+    query cost is O(corpus / 2^n_planes × probes) instead of a full
+    scan. Buckets are deterministic (md5 planes), so rebuilds are
+    idempotent."""
+    if dim is None:
+        dim = emb.select(F.size(vec_col).alias("d")).limit(1).collect()[0]["d"]
+    vec = F.col(vec_col).cast("array<double>")
+    (
+        emb.withColumn("bucket", lsh_bucket(vec, dim, n_planes))
+        .repartition("bucket")
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    )
+
+
+def lsh_topk_indexed(spark, path: str, query_vec: list[float], k: int = 10,
+                     n_planes: int = 8, multiprobe_bits: int = 1,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     exclude_id: int | None = None) -> DataFrame:
+    """ANN over a persisted bucket-partitioned index: enumerate probe
+    buckets driver-side, scan only those partitions, re-rank exact."""
+    qb = query_bucket(query_vec, n_planes)
+    probes = probe_buckets(qb, n_planes, multiprobe_bits)
+    cand = spark.read.parquet(path).where(F.col("bucket").isin(probes))
     return cosine_topk(cand, query_vec, k, vec_col, id_col, exclude_id)
 
 
 def ivf_centroids(emb: DataFrame, label_col: str = "label",
                   vec_col: str = "embedding") -> DataFrame:
-    """Coarse centroids: element-wise mean vector per label partition."""
-    dim_df = emb.select(F.size(vec_col).alias("d")).limit(1)
-    dim = dim_df.collect()[0]["d"]
-    sums = emb.groupBy(label_col).agg(
-        F.count("*").alias("n"),
-        *[
-            F.sum(F.element_at(F.col(vec_col), i + 1)).alias(f"s{i}")
-            for i in range(dim)
-        ],
+    """Coarse centroids: element-wise mean vector per label.
+
+    Scale shape: posexplode → groupBy(label, dim) with map-side
+    combine → per-label reassembly of the sorted (dim, mean) pairs.
+    The shuffle is n_labels × dim ROWS (not one column per dim), so
+    the plan is identical at dim 16 and dim 768+."""
+    ex = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x"),
     )
-    centroid = F.array(*[(F.col(f"s{i}") / F.col("n")) for i in range(dim)])
-    return sums.select(F.col(label_col).alias("label"), centroid.alias("centroid"))
+    per = ex.groupBy("label", "d").agg(F.avg("x").alias("c"))
+    return per.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "c"))),
+            lambda s: s["c"],
+        ).alias("centroid")
+    )
 
 
 def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
@@ -140,12 +204,19 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
              vec_col: str = "embedding", id_col: str = "vec_id",
              exclude_id: int | None = None) -> DataFrame:
     """ANN: probe the ``n_probe`` nearest label-partitions (by centroid
-    cosine), exact cosine re-rank inside them only."""
+    cosine), exact cosine re-rank inside them only. Probe selection
+    orders by the MICRO-rounded centroid similarity (label asc ties) —
+    cross-engine deterministic, so the DuckDB oracle probes the same
+    partitions."""
     cents = ivf_centroids(emb, label_col, vec_col)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     probe = (
-        cents.select("label", cosine(F.col("centroid"), q).alias("csim"))
-        .orderBy(F.desc("csim"), F.asc("label"))
+        cents.select(
+            "label",
+            F.round(cosine(F.col("centroid"), q) * 1000000, 0)
+            .cast("long").alias("csim_micro"),
+        )
+        .orderBy(F.desc("csim_micro"), F.asc("label"))
         .limit(n_probe)
     )
     cand = emb.join(
@@ -153,3 +224,49 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
         label_col, "semi",
     )
     return cosine_topk(cand, query_vec, k, vec_col, id_col, exclude_id)
+
+
+def kmeans_labels(emb: DataFrame, k: int = 8, n_iter: int = 4,
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Deterministic Lloyd k-means: learned coarse-quantizer labels
+    for IVF (when no label column exists). Init = the k vectors with
+    the smallest md5-hash of their id (reproducible, no RNG); each
+    iteration broadcasts the k×dim centroid table (metadata-sized)
+    and reassigns by max cosine; centroids recompute via the same
+    posexplode mean as :func:`ivf_centroids`. Returns (vec_id, label)."""
+    vec = F.col(vec_col).cast("array<double>")
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+               16, 10).cast("long")
+    seed_rows = (
+        emb.select(vec.alias("centroid"), h.alias("h"))
+        .orderBy(F.asc("h")).limit(k)  # distributed top-k, k rows out
+        .collect()
+    )
+    assigned = None
+    cents = None
+    for it in range(n_iter):
+        cent_rows = (
+            [{"label": i, "centroid": r["centroid"]}
+             for i, r in enumerate(seed_rows)]
+            if it == 0 else cents.collect()  # k rows — metadata-sized
+        )
+        carr = F.array(*[
+            F.array(*[F.lit(float(x)) for x in r["centroid"]])
+            for r in sorted(cent_rows, key=lambda r: r["label"])
+        ])
+        # argmax cosine over the k broadcast centroids, ties → lower label
+        sims = F.transform(
+            carr, lambda c: F.round(cosine(vec, c) * 1000000, 0).cast("long")
+        )
+        best = F.array_position(sims, F.array_max(sims)) - 1
+        assigned = emb.select(
+            F.col(id_col).alias("vec_id"),
+            best.cast("int").alias("label"),
+            vec.alias("_v"),
+        )
+        cents = ivf_centroids(
+            assigned.select("label", F.col("_v").alias(vec_col)),
+            "label", vec_col,
+        )
+    return assigned.select("vec_id", "label")

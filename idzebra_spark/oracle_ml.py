@@ -207,6 +207,90 @@ ORDER BY simhash ASC
 """
 
 
+_RERANK = """
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {qid}),
+parts AS (
+  SELECT e.vec_id, unnest(e.embedding::DOUBLE[]) AS x, unnest(q.qv) AS y
+  FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+),
+sims AS (
+  SELECT vec_id, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim
+  FROM parts GROUP BY vec_id
+)
+SELECT vec_id, CAST(round(sim * 1000000) AS BIGINT) AS sim_micro
+FROM sims ORDER BY sim_micro DESC, vec_id ASC LIMIT {k}
+"""
+
+
+def lsh_topk_sql(query_vec_id: int = 0, k: int = 10, n_planes: int = 6,
+                 multiprobe_bits: int = 1, dim: int = 64) -> str:
+    """Mirror of operators.similarity.lsh_topk / lsh_topk_indexed:
+    md5-derived hyperplanes, sign-bit bucket, Hamming-≤bits probe,
+    exact cosine re-rank — the same candidates bit-for-bit (the plane
+    weights are integer-exact cross-engine)."""
+    return f"""
+WITH planes AS (SELECT unnest(range(0, {n_planes})) AS p),
+dims AS (SELECT unnest(range(0, {dim})) AS d),
+w AS (
+  SELECT p, d,
+         CAST(CAST(('0x' || substring(md5(p::VARCHAR || '_' || d::VARCHAR),
+                                      1, 15)) AS BIGINT) % 2001 - 1000
+              AS DOUBLE) AS wt
+  FROM planes, dims
+),
+proj AS (
+  SELECT e.vec_id, w.p, sum(e.embedding[w.d + 1]::DOUBLE * w.wt) AS proj
+  FROM embeddings e, w
+  GROUP BY e.vec_id, w.p
+),
+bucket AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+),
+qb AS (SELECT bucket AS qbucket FROM bucket WHERE vec_id = {query_vec_id}),
+cand AS (
+  SELECT b.vec_id FROM bucket b, qb
+  WHERE bit_count(xor(b.bucket, qbucket)) <= {multiprobe_bits}
+    AND b.vec_id <> {query_vec_id}
+),
+{_RERANK.format(qid=query_vec_id, k=k)}
+"""
+
+
+def ivf_topk_sql(query_vec_id: int = 0, k: int = 10, n_probe: int = 2) -> str:
+    """Mirror of operators.similarity.ivf_topk: per-(label, dim) mean
+    centroids, micro-rounded centroid-cosine probe selection (label
+    asc ties), exact cosine re-rank within the probed labels."""
+    return f"""
+WITH ex AS (
+  SELECT label, unnest(embedding::DOUBLE[]) AS x,
+         unnest(range(1, len(embedding) + 1)) AS d
+  FROM embeddings
+),
+cent AS (SELECT label, d, avg(x) AS c FROM ex GROUP BY label, d),
+centv AS (SELECT label, list(c ORDER BY d) AS centroid FROM cent GROUP BY label),
+q0 AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {query_vec_id}),
+cparts AS (
+  SELECT centv.label, unnest(centv.centroid) AS x, unnest(q0.qv) AS y
+  FROM centv CROSS JOIN q0
+),
+csim AS (
+  SELECT label,
+         CAST(round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y)))
+                    * 1000000) AS BIGINT) AS csim_micro
+  FROM cparts GROUP BY label
+),
+probe AS (SELECT label FROM csim ORDER BY csim_micro DESC, label ASC LIMIT {n_probe}),
+cand AS (
+  SELECT vec_id FROM embeddings JOIN probe USING (label)
+  WHERE vec_id <> {query_vec_id}
+),
+{_RERANK.format(qid=query_vec_id, k=k)}
+"""
+
+
 def cosine_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
     """Explicit dot/norm via parallel unnest (zips), double math —
     mirrors the Spark fold exactly."""

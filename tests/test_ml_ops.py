@@ -78,3 +78,39 @@ def test_query_parser_shapes():
     assert r.children[1].op == "phrase" and r.children[1].value == "x y"
     # positive terms only: the NOT branch is excluded from ranking
     assert sorted(q.root.terms()) == ["a", "b", "c", "d"]
+
+
+def test_lsh_indexed_equals_unindexed(spark, sf_dir, tmp_path):
+    """Persisted bucket-partitioned probe == on-the-fly bucketing."""
+    from idzebra_spark.operators.similarity import (
+        build_lsh_index, lsh_topk, lsh_topk_indexed)
+
+    emb, qv = _qv(spark, sf_dir)
+    path = str(tmp_path / "lsh")
+    build_lsh_index(emb, path, n_planes=6)
+    a = [(r.vec_id, r.sim_micro) for r in
+         lsh_topk(emb, qv, 10, n_planes=6, exclude_id=0).collect()]
+    b = [(r.vec_id, r.sim_micro) for r in
+         lsh_topk_indexed(spark, path, qv, 10, n_planes=6,
+                          exclude_id=0).collect()]
+    assert a == b
+    # partition pruning: the probe plan reads only probed buckets
+    plan = lsh_topk_indexed(spark, path, qv, 10, n_planes=6,
+                            exclude_id=0)._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan
+
+
+def test_kmeans_deterministic_and_ivf_recall(spark, sf_dir):
+    from idzebra_spark.operators.similarity import (
+        cosine_topk, ivf_topk, kmeans_labels)
+
+    emb, qv = _qv(spark, sf_dir)
+    l1 = {(r.vec_id, r.label) for r in kmeans_labels(emb, 8, 2).collect()}
+    l2 = {(r.vec_id, r.label) for r in kmeans_labels(emb, 8, 2).collect()}
+    assert l1 == l2  # no RNG anywhere
+    labels = kmeans_labels(emb, 8, 3)
+    relab = emb.drop("label").join(labels, "vec_id")
+    exact = {r.vec_id for r in cosine_topk(emb, qv, 10, exclude_id=0).collect()}
+    approx = {r.vec_id for r in
+              ivf_topk(relab, qv, 10, n_probe=3, exclude_id=0).collect()}
+    assert len(exact & approx) >= 3

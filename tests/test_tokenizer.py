@@ -52,3 +52,33 @@ def test_token_cap(spark):
     df = spark.createDataFrame([(1, "x" * 1000)], ["doc_id", "text"])
     [row] = df.select(tokenize_array(F.col("text")).alias("a")).collect()
     assert len(row.a) == 1 and len(row.a[0]) == MAX_TOKEN_LEN
+
+
+def test_ascii_charmap_drops_non_latin_pinned(spark):
+    """Documented limitation of the default charmap (string.chr has
+    alphabet [0-9a-z]): non-Latin text yields NO tokens."""
+    from idzebra_spark.functions.tokenizer import tokenize_array
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "данные Daten datos 数据"), (1, "abc défi")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["toks"] for r in df.select(
+        "doc_id", tokenize_array(F.col("text")).alias("toks")).collect()}
+    assert rows[0] == ["daten", "datos"]       # Cyrillic/CJK dropped
+    assert rows[1] == ["abc", "d", "fi"]       # é splits in ASCII mode
+
+
+def test_unicode_charmap_keeps_letters(spark):
+    from idzebra_spark.functions.tokenizer import tokenize_array
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "данные Daten datos 数据"), (1, "abc défi")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["toks"] for r in df.select(
+        "doc_id",
+        tokenize_array(F.col("text"), alphabet="unicode").alias("toks"),
+    ).collect()}
+    assert rows[0] == ["данные", "daten", "datos", "数据"]
+    assert rows[1] == ["abc", "défi"]
