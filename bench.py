@@ -85,6 +85,16 @@ def main() -> None:
     p95 = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
 
     run("q_phrase_segment", lambda: idx.phrase(["batch", "batch"], 10).collect())
+    run("q_phrase_highdf", lambda: idx.phrase(["value", "table"], 10).collect())
+
+    def _parsed():
+        from idzebra_spark.plans.query import parse
+        q = parse('(merge OR sort) AND scan NOT "batch batch"')
+        idx.search_tree(q.root.to_rset_tree(), 10).collect()
+
+    run("q_wand_parsed", _parsed)
+    run("q_trunc_prefix",
+        lambda: idx.eval_tree(("prefix", "sc")).count())
     run("q_count_or", lambda: idx.count(["merge", "sort"], "or"))
     run("q_brute_or2",
         lambda: bm25_topk(docs, ["merge", "sort"], 10, "or").collect())
@@ -106,6 +116,26 @@ def main() -> None:
         cosine_topk(emb, qv, 10, exclude_id=0).collect()
 
     run("q_sim_cosine", _cosine)
+
+    def _lsh():
+        from pyspark.sql import functions as F
+
+        from idzebra_spark.operators.similarity import (
+            build_lsh_index, lsh_topk_indexed)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qv = [float(x) for x in
+              emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        lsh_path = tempfile.mkdtemp(prefix="idzebra_bench_lsh_") + "/lsh"
+        t = time.perf_counter()
+        build_lsh_index(emb, lsh_path, n_planes=6)
+        timings["build_lsh_index"] = round(time.perf_counter() - t, 4)
+        t = time.perf_counter()
+        lsh_topk_indexed(spark, lsh_path, qv, 10, n_planes=6,
+                         exclude_id=0).collect()
+        timings["q_sim_lsh_indexed"] = round(time.perf_counter() - t, 4)
+        shutil.rmtree(os.path.dirname(lsh_path), ignore_errors=True)
+
+    _lsh()
 
     total = time.perf_counter() - t_all
     out = {

@@ -194,6 +194,57 @@ class ZebraSpark:
             .limit(n)
         )
 
+    def fetch(self, doc_ids: list[int] | DataFrame,
+              elements: str = "full") -> DataFrame:
+        """Record retrieval — zebra_records_retrieve with element sets
+        (/root/reference/index/retrieve.c:1026-1119: element set names
+        select full record vs metadata vs snippet rendering). Accepts
+        an id list or a (doc_id) DataFrame (a result set)."""
+        src = self._corpus
+        ids = (
+            doc_ids.select(F.col("doc_id").alias(self.id_col))
+            if isinstance(doc_ids, DataFrame)
+            else self.spark.createDataFrame(
+                [(int(i),) for i in doc_ids], f"{self.id_col} long")
+        )
+        out = src.join(ids, self.id_col, "semi")
+        if elements == "full":
+            return out.orderBy(self.id_col)
+        if elements == "meta":
+            cols = [c for c in out.columns if c != self.text_col]
+            return out.select(*cols).orderBy(self.id_col)
+        if elements == "head":
+            from idzebra_spark.functions.tokenizer import tokenize_array
+
+            return out.select(
+                self.id_col,
+                F.array_join(
+                    F.slice(tokenize_array(F.col(self.text_col)), 1, 10), " "
+                ).alias("head"),
+            ).orderBy(self.id_col)
+        raise ValueError(f"unknown element set {elements!r}")
+
+    def info(self) -> dict:
+        """Index statistics — Zebra's explain/zinfo registry surface
+        (/root/reference/index/zinfo.c:1431-1456 records per-register
+        counts). Everything is metadata-sized aggregation over the
+        segment tables; no corpus scan."""
+        n_docs, avgdl = self.index.stats()
+        d = self.index.dictionary().agg(
+            F.count("*").alias("n_terms"),
+            F.sum("df").alias("n_postings"),
+            F.sum("cf").alias("n_occurrences"),
+        ).collect()[0]
+        n_shards = self.index.shard_batch.count()
+        return {
+            "n_docs": int(n_docs),
+            "avgdl": float(avgdl),
+            "n_terms": int(d["n_terms"]),
+            "n_postings": int(d["n_postings"]),
+            "n_occurrences": int(d["n_occurrences"]),
+            "n_shards": int(n_shards),
+        }
+
     def snippets(self, term: str, k: int = 10, window: int = 2) -> DataFrame:
         """±window-token snippet around the first occurrence
         (util/snippet.c) — first positions decoded from the segment's

@@ -734,6 +734,30 @@ def q_seg_prox(spark, sf_dir):
     )
 
 
+def q_seg_prox_ordered(spark, sf_dir):
+    """Ordered proximity as an rset-tree leaf — evaluated inside the
+    per-shard kernel (vectorized window search over packed position
+    keys), composable with the boolean DAG."""
+    idx = _index(spark, sf_dir)
+    return (
+        idx.eval_tree(("prox", ["merge", "sort"], "=", 2, True))
+        .orderBy(F.asc("doc_id")).limit(100)
+    )
+
+
+# rsprox ordered path compares the RAW difference (seqno2 - seqno1
+# REL distance, rsprox.c:162-213) — '= 2' means 'sort' exactly two
+# positions after 'merge'.
+_SEG_PROX_ORDERED_SQL = f"""
+WITH {oracle.TOKS_CTE}
+SELECT DISTINCT a.doc_id AS doc_id
+FROM posting a JOIN posting b
+  ON a.doc_id = b.doc_id AND a.term = 'merge' AND b.term = 'sort'
+ AND b.pos - a.pos = 2
+ORDER BY doc_id ASC LIMIT 100
+"""
+
+
 def q_seg_facets(spark, sf_dir):
     idx = _index(spark, sf_dir)
     hits = idx.eval_tree(("or", [("term", "merge"), ("term", "sort")]))
@@ -812,6 +836,54 @@ _RANK2_SQL = oracle.rank1_sql(["merge", "sort"], 10).replace(
     "AS score\nFROM scored",
     "- (doc_id % 16) AS score\nFROM scored",
 )
+
+
+def q_record_fetch(spark, sf_dir):
+    """Record retrieval with the 'meta' element set — hits resolved on
+    the segment engine, records joined from the corpus
+    (retrieve.c:1026-1119 element-set rendering)."""
+    idx = _index(spark, sf_dir)
+    hits = idx.eval_tree(("term", "merge"))
+    return (
+        _docs(spark, sf_dir).join(hits, "doc_id", "semi")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy(F.asc("doc_id")).limit(20)
+    )
+
+
+_RECORD_FETCH_SQL = f"""
+WITH {oracle.TOKS_CTE}
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id IN (SELECT DISTINCT doc_id FROM posting WHERE term = 'merge')
+ORDER BY doc_id ASC LIMIT 20
+"""
+
+
+def q_index_stats(spark, sf_dir):
+    """Explain/zinfo register statistics: the segment dictionary+norms
+    must agree exactly with a raw re-tokenization of the corpus — the
+    index-consistency invariant (zinfo.c:1431-1456)."""
+    idx = _index(spark, sf_dir)
+    n_docs, _ = idx.stats()
+    d = idx.dictionary().agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("df").cast("long").alias("n_postings"),
+        F.sum("cf").cast("long").alias("n_occurrences"),
+    )
+    return d.select(F.lit(int(n_docs)).cast("long").alias("n_docs"),
+                    "n_terms", "n_postings", "n_occurrences")
+
+
+_INDEX_STATS_SQL = f"""
+WITH {oracle.TOKS_CTE},
+p AS (SELECT doc_id, term FROM posting)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       count(DISTINCT term) AS n_terms,
+       count(DISTINCT (doc_id, term)) AS n_postings,
+       count(*) AS n_occurrences
+FROM p
+"""
 
 
 def q_between_scope(spark, sf_dir):
@@ -903,9 +975,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "seg_scan_around": (q_seg_scan_around, _SCAN_AROUND_SQL),
     "seg_first_in_field": (q_seg_first_in_field, _FIRST_IN_FIELD_SQL),
     "seg_prox_unordered": (q_seg_prox, oracle.prox_sql("merge", "sort", 3, 100)),
+    "seg_prox_ordered": (q_seg_prox_ordered, _SEG_PROX_ORDERED_SQL),
     "seg_facets": (q_seg_facets, oracle.facet_sql(["merge", "sort"], "source", 10)),
     "seg_snippets": (q_seg_snippets, oracle.snippet_sql("merge", 2, 10)),
     "rank2": (q_rank2, _RANK2_SQL),
+    "record_fetch": (q_record_fetch, _RECORD_FETCH_SQL),
+    "index_stats": (q_index_stats, _INDEX_STATS_SQL),
     "between_scope": (q_between_scope, _BETWEEN_SQL),
     "within_unit": (q_within_unit, _WITHIN_UNIT_SQL),
     "bool_not": (q_bool_not, oracle.bool_not_sql("merge", "sort", 100)),

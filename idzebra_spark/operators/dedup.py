@@ -28,6 +28,18 @@ def _hash64(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Ensure the heavy map stage (shingle explode + hashing) runs at
+    full parallelism: a small corpus often arrives as ONE parquet file
+    → one partition → one core does all the work. Round-robin
+    repartition is a cheap raw-doc shuffle; skipped when the input is
+    already wide (the 100 TB case)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups by content sha256 — one hash shuffle."""
@@ -43,17 +55,21 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text",
 
 
 def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
-             id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+             id_col: str = "doc_id", distinct: bool = True) -> DataFrame:
+    """Word n-gram shingles per doc: (doc_id, shingle).
+
+    ``distinct=False`` skips the dedup shuffle — correct wherever the
+    consumer is duplicate-insensitive (MinHash takes a min over the
+    shingle set; duplicates can't change it)."""
     toks = tokenize_array(F.col(text_col))
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
-        .distinct()
+    out = _widen(df).select(
+        F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle")
     )
+    return out.distinct() if distinct else out
 
 
 def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
@@ -93,27 +109,36 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     )
 
 
+def minhash_signatures_wide(sh: DataFrame,
+                            n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, m0..m{n-1}) from a shingle set — ONE groupBy with
+    ``n_hashes`` min-aggregations (map-side combine shrinks the
+    shuffle to n_docs × n_hashes values; no row explosion)."""
+    aggs = [
+        F.min(
+            _hash64(F.concat(F.lit(f"{j}:"), F.col("shingle")))
+        ).alias(f"m{j}")
+        for j in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(df: DataFrame, n_hashes: int = N_HASHES, n: int = 3,
                        text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """(doc_id, j, minhash) — j in 0..n_hashes-1; minhash_j =
-    min over shingles of hash64(j || ':' || shingle)."""
-    sh = shingles(df, n, text_col, id_col)
-    salted = sh.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-                lambda j: F.struct(
-                    j.alias("j"),
-                    _hash64(
-                        F.concat(j.cast("string"), F.lit(":"), F.col("shingle"))
-                    ).alias("h"),
-                ),
-            )
-        ).alias("s"),
-    ).select("doc_id", F.col("s.j").alias("j"), F.col("s.h").alias("h"))
-    return salted.groupBy("doc_id", "j").agg(F.min("h").alias("minhash"))
+    min over shingles of hash64(j || ':' || shingle). Tall view of
+    :func:`minhash_signatures_wide` (kept for the oracle contract)."""
+    wide = minhash_signatures_wide(shingles(df, n, text_col, id_col),
+                                   n_hashes)
+    pairs = F.array(*[
+        F.struct(F.lit(j).alias("j"), F.col(f"m{j}").alias("minhash"))
+        for j in range(n_hashes)
+    ])
+    return wide.select(
+        "doc_id", F.explode(pairs).alias("s")
+    ).select("doc_id", F.col("s.j").alias("j"),
+             F.col("s.minhash").alias("minhash"))
 
 
 def minhash_lsh_pairs(df: DataFrame, n_hashes: int = N_HASHES,
@@ -124,25 +149,32 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = N_HASHES,
 
     signature → bands of ``band_rows`` rows → band-key equality join
     produces candidates → exact n-gram Jaccard filters ≥ threshold.
-    Only candidate pairs are verified (the 100 TB-safe shape)."""
-    sig = minhash_signatures(df, n_hashes, n, text_col, id_col)
-    bands = (
-        sig.withColumn("band", (F.col("j") / band_rows).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("j", "minhash"))
-                        ),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("band_key")
+    Only candidate pairs are verified (the 100 TB-safe shape).
+
+    Signatures run on the RAW (non-distinct) shingle stream — min is
+    duplicate-insensitive — so the signature path is one scan + one
+    map-side-combined agg with NO distinct shuffle; the verifier
+    re-shingles only the candidate docs (semi-join first, then
+    explode)."""
+    sh = shingles(df, n, text_col, id_col, distinct=False)
+    # n_docs × n_hashes — tiny; caching stops the band self-join from
+    # re-deriving the shingle+hash chain for each join side
+    wide = minhash_signatures_wide(sh, n_hashes).cache()
+    n_bands = n_hashes // band_rows
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *[
+                F.col(f"m{j}").cast("string")
+                for j in range(b * band_rows, (b + 1) * band_rows)
+            ])).alias("band_key"),
         )
-    )
+        for b in range(n_bands)
+    ])
+    bands = wide.select(
+        "doc_id", F.explode(band_structs).alias("s")
+    ).select("doc_id", F.col("s.band").alias("band"),
+             F.col("s.band_key").alias("band_key"))
     cand = (
         bands.alias("a")
         .join(bands.alias("b"),
@@ -170,13 +202,16 @@ def verify_candidate_pairs(df: DataFrame, cand: DataFrame, n: int = 3,
     shingle counts), bounded by the LSH band stage.
     """
     cand = cand.cache()
-    sh = shingles(df, n, text_col, id_col)
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_c = sh.join(cand_docs, "doc_id", "semi").cache()
+    # semi-join the CORPUS first, then shingle: the n-gram explode and
+    # its distinct run over candidate docs only, not the whole corpus
+    df_c = df.join(cand_docs.withColumnRenamed("doc_id", id_col),
+                   id_col, "semi")
+    sh_c = shingles(df_c, n, text_col, id_col).cache()
     sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         cand
@@ -211,7 +246,8 @@ def simhash(df: DataFrame, n_bits: int = 32, text_col: str = "text",
     sum over terms of tf * sign(bit k of hash64(term)) > 0."""
     toks = tokenize_array(F.col(text_col))
     tf = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        _widen(df)
+        .select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
         .withColumn("h", _hash64(F.col("term")))

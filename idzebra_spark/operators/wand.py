@@ -422,13 +422,16 @@ POSTINGS_SCHEMA = T.StructType([
 
 
 def _tree_terms(tree) -> tuple[set, set]:
-    """(plain_terms, phrase_terms) referenced anywhere in the tree."""
+    """(plain_terms, positional_terms) referenced anywhere in the
+    tree — positional terms (phrase/prox leaves) need pos_bin."""
     op = tree[0]
     if op == "term":
         return {tree[1]}, set()
     if op == "terms":
         return set(tree[1]), set()
     if op == "phrase":
+        return set(), set(tree[1])
+    if op == "prox":
         return set(), set(tree[1])
     if op == "not":
         a1, a2 = _tree_terms(tree[1])
@@ -444,6 +447,96 @@ def _tree_terms(tree) -> tuple[set, set]:
     raise ValueError(f"unknown tree node {op!r}")
 
 
+def _prox_match(decoded: dict, t1: str, t2: str, relation: str,
+                distance: int, ordered: bool) -> np.ndarray:
+    """Vectorized proximity over decoded positions — all six rsprox
+    relations (/root/reference/rset/rsprox.c:162-297: ordered fast
+    path checks ``seqno2 - seqno1 REL distance``; unordered uses the
+    absolute difference and distinct positions). For window-shaped
+    relations the check is a sorted-window search over packed
+    (doc_rank << 42 | pos) keys — one searchsorted pair for ALL
+    candidate docs at once; open-ended relations (>, >=, <>) reduce
+    to per-doc min/max comparisons, equally loop-free."""
+    d1, off1, p1 = decoded[t1]
+    d2, off2, p2 = decoded[t2]
+    cand = np.intersect1d(d1, d2, assume_unique=True)
+    if cand.size == 0:
+        return np.empty(0, np.int64)
+
+    def keyed(d, off, p):
+        j = np.searchsorted(d, cand)
+        cnt = (off[j + 1] - off[j]).astype(np.int64)
+        flat = _gather_ranges(off[j], cnt)
+        rank = np.repeat(np.arange(cand.size, dtype=np.int64), cnt)
+        return (rank << _POS_SHIFT) | p[flat], rank, p[flat], cnt
+
+    k1, r1, q1, cnt1 = keyed(d1, off1, p1)
+    k2, r2, q2, cnt2 = keyed(d2, off2, p2)
+    starts1 = np.searchsorted(r1, np.arange(cand.size))
+    starts2 = np.searchsorted(r2, np.arange(cand.size))
+    min1 = np.minimum.reduceat(q1, starts1)
+    max1 = np.maximum.reduceat(q1, starts1)
+    min2 = np.minimum.reduceat(q2, starts2)
+    max2 = np.maximum.reduceat(q2, starts2)
+
+    def pairs_in(lo_off: int, hi_off: int) -> np.ndarray:
+        """Per-doc count of (p1, p2) pairs with p2 - p1 in
+        [lo_off, hi_off] — one searchsorted pair for every p1 element
+        across all docs, summed per doc."""
+        per_el = (
+            np.searchsorted(k2, k1 + hi_off + 1)
+            - np.searchsorted(k2, k1 + lo_off)
+        )
+        return np.add.reduceat(per_el, starts1)
+
+    if ordered:
+        # diff = pos2 - pos1, sign kept (rsprox ordered path)
+        if relation == "=":
+            keep = pairs_in(distance, distance) > 0
+        elif relation == "<":
+            keep = (min2 - max1) < distance
+        elif relation == "<=":
+            keep = (min2 - max1) <= distance
+        elif relation == ">":
+            keep = (max2 - min1) > distance
+        elif relation == ">=":
+            keep = (max2 - min1) >= distance
+        elif relation == "<>":
+            keep = (cnt1 * cnt2 - pairs_in(distance, distance)) > 0
+        else:
+            raise ValueError(f"unknown prox relation {relation!r}")
+        return cand[keep]
+
+    # unordered: |pos2 - pos1| REL distance over pairs with p1 != p2
+    same = pairs_in(0, 0)
+    valid = cnt1 * cnt2 - same
+    if relation == "=":
+        if distance == 0:
+            keep = np.zeros(cand.size, dtype=bool)
+        else:
+            keep = pairs_in(distance, distance) + pairs_in(
+                -distance, -distance) > 0
+    elif relation == "<":
+        keep = (pairs_in(-(distance - 1), distance - 1) - same) > 0 \
+            if distance >= 1 else np.zeros(cand.size, dtype=bool)
+    elif relation == "<=":
+        keep = (pairs_in(-distance, distance) - same) > 0
+    elif relation == ">":
+        keep = np.maximum(max2 - min1, max1 - min2) > distance
+    elif relation == ">=":
+        dmax = np.maximum(max2 - min1, max1 - min2)
+        keep = (dmax >= distance) & (valid > 0) if distance == 0 \
+            else dmax >= distance
+    elif relation == "<>":
+        eqd = (np.zeros(cand.size, dtype=np.int64) if distance == 0
+               else pairs_in(distance, distance)
+               + pairs_in(-distance, -distance))
+        keep = (valid - eqd) > 0
+    else:
+        raise ValueError(f"unknown prox relation {relation!r}")
+    return cand[keep]
+
+
 def tree_rank_terms(tree) -> list[str]:
     """Positive ranking terms: term/phrase leaves not under a NOT's
     right branch; truncation expansions ('terms') are excluded from
@@ -454,7 +547,7 @@ def tree_rank_terms(tree) -> list[str]:
         return [tree[1]]
     if op == "terms":
         return []
-    if op == "phrase":
+    if op in ("phrase", "prox"):
         return list(tree[1])
     if op == "not":
         return tree_rank_terms(tree[1])
@@ -512,6 +605,12 @@ def _rset_kernel(tree, term_idf, avgdl, rank_order, k, k1=K1, b=B):
                 if any(t not in pos_of for t in node[1]):
                     return E
                 return _phrase_match(pos_of, list(node[1]))[0]
+            if op == "prox":
+                # ("prox", [t1, t2], relation, distance, ordered)
+                if any(t not in pos_of for t in node[1]):
+                    return E
+                return _prox_match(pos_of, node[1][0], node[1][1],
+                                   node[2], node[3], node[4])
             if op == "and":
                 # smallest-first child ordering (rsmultiandor.c:26-31)
                 kids = sorted((ev(c) for c in node[1]), key=lambda a: a.size)

@@ -136,6 +136,13 @@ class _Parser:
             return Node("phrase", t.strip('"').lower())
         if t.endswith("*"):
             return Node("prefix", t[:-1].lower())
+        if ":" in t[1:-1]:
+            # fielded term `field:term` — Zebra's @attr 1=<field>
+            # scoping, mapped to the composite field\x1fterm key
+            from idzebra_spark.operators.boolean import fielded_term
+
+            field, term = t.split(":", 1)
+            return Node("term", fielded_term(field, term))
         return Node("term", t.lower())
 
 

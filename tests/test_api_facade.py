@@ -66,3 +66,43 @@ def test_lifecycle_and_vacuum(spark, sf_dir, tmp_path_factory):
     assert zs.scan("mer", 5).count() == 5
     assert zs.facets("merge OR sort", "source", 5).count() == 5
     assert zs.snippets("merge", 5).count() == 5
+
+
+def test_fetch_element_sets(spark, sf_dir, tmp_path):
+    from idzebra_spark.api import ZebraSpark
+    from idzebra_spark.sources.corpus import load_documents
+
+    docs = load_documents(spark, sf_dir)
+    zs = ZebraSpark(spark, str(tmp_path / "idx_fetch"), corpus=docs)
+    zs.build(docs, shard_size=64, block_size=32)
+    full = zs.fetch([1, 3, 5], elements="full")
+    assert [r["doc_id"] for r in full.collect()] == [1, 3, 5]
+    assert "text" in full.columns
+    meta = zs.fetch([1, 3], elements="meta")
+    assert "text" not in meta.columns and meta.count() == 2
+    head = zs.fetch([1], elements="head").collect()[0]
+    assert len(head["head"].split()) <= 10
+    # result-set input form
+    hits = zs.index.eval_tree(("term", "merge"))
+    assert zs.fetch(hits, "meta").count() == hits.count()
+
+
+def test_info_matches_corpus(spark, sf_dir, tmp_path):
+    """zinfo stats from the segment tables == raw re-tokenization."""
+    from pyspark.sql import functions as F
+
+    from idzebra_spark.api import ZebraSpark
+    from idzebra_spark.functions.tokenizer import tokenize
+    from idzebra_spark.sources.corpus import load_documents
+
+    docs = load_documents(spark, sf_dir)
+    zs = ZebraSpark(spark, str(tmp_path / "idx_info"), corpus=docs)
+    zs.build(docs, shard_size=64, block_size=32)
+    info = zs.info()
+    raw = tokenize(docs).agg(
+        F.countDistinct("term").alias("t"),
+        F.count("*").alias("o"),
+    ).collect()[0]
+    assert info["n_docs"] == docs.count()
+    assert info["n_terms"] == raw["t"]
+    assert info["n_occurrences"] == raw["o"]

@@ -179,3 +179,72 @@ def test_fielded_update_diff(spark, corpus, tmp_path):
     docs = sorted(r["doc_id"] for r in idx2.eval_tree(
         ("term", fielded_term("source", "s9"))).collect())
     assert docs == [0]
+
+
+def test_lsh_verify_restricted_to_candidates(spark):
+    """The exact-Jaccard verifier must touch only candidate docs: with
+    an all-unique corpus the LSH stage yields zero candidates and the
+    result is empty — and the verifier's plan must not contain the
+    corpus-wide shingle self-join (both join sides are candidate-
+    filtered)."""
+    from idzebra_spark.operators.dedup import (
+        minhash_lsh_pairs, verify_candidate_pairs)
+
+    rows = [(i, f"u{i} v{i} w{i} x{i} y{i} z{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_lsh_pairs(df, threshold=0.1)
+    assert out.count() == 0
+    # structural check: every shingle-generation branch in the verify
+    # plan sits under a candidate semi-join (df is filtered BEFORE the
+    # explode), so no Generate node scans the raw corpus relation
+    cand = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    qe = verify_candidate_pairs(df, cand)._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "Generate explode" in plan
+    assert "LeftSemi" in plan
+
+
+def test_lsh_equals_jaccard_on_candidates(spark):
+    """LSH output == exact jaccard pairs restricted to band candidates
+    (here: near-identical docs are candidates and pass threshold)."""
+    from idzebra_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(0, base), (1, base + " extra"), (2, "totally different words "
+            "nothing shared here at all whatsoever believe me")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lsh = {(r.doc_a, r.doc_b, r.jacc_milli)
+           for r in minhash_lsh_pairs(df, threshold=0.5).collect()}
+    exact = {(r.doc_a, r.doc_b, r.jacc_milli)
+             for r in jaccard_pairs(df, threshold=0.5).collect()}
+    # doc0: 8 shingles, doc1: 9; intersection 8 → jacc = 8/9 = 0.8889
+    assert lsh == {(0, 1, 8889)} and exact == lsh
+
+
+@pytest.mark.parametrize("relation,ordered", [
+    ("=", True), ("=", False), ("<", True), ("<", False),
+    ("<=", True), ("<=", False), (">", True), (">", False),
+    (">=", True), (">=", False), ("<>", True), ("<>", False),
+])
+def test_prox_tree_matches_logical(idx, corpus, relation, ordered):
+    """Segment tree prox leaf == logical PostingsOps.prox for every
+    rsprox relation × order (rsprox.c:162-297)."""
+    for distance in (1, 2, 3):
+        got = sorted(r["doc_id"] for r in idx.eval_tree(
+            ("prox", ["merge", "beta"], relation, distance, ordered)
+        ).collect())
+        want = sorted(r["doc_id"] for r in PostingsOps(corpus).prox(
+            "merge", "beta", relation, distance, ordered).collect())
+        assert got == want, (relation, distance, ordered, got, want)
+
+
+def test_fielded_query_language(spark, corpus, idx):
+    """`field:term` syntax end-to-end through the facade parser."""
+    from idzebra_spark.plans.query import parse
+    from idzebra_spark.operators.boolean import fielded_term
+
+    q = parse("source:s1 AND lang:en AND merge")
+    tree = q.root.to_rset_tree()
+    assert ("term", fielded_term("source", "s1")) in tree[1]
+    docs = sorted(r["doc_id"] for r in idx.eval_tree(tree).collect())
+    assert docs == [5]
