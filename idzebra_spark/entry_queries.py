@@ -396,6 +396,19 @@ def q_sim_ivf_kmeans(spark, sf_dir):
     return ivf_topk(relabeled, qv, k=10, n_probe=3, exclude_id=0)
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: LSH-bucket candidates, exact
+    cosine verify — the vector-space dedup op of the pipeline brief."""
+    from idzebra_spark.operators.similarity import embedding_dup_pairs
+    from idzebra_spark.sources.corpus import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        embedding_dup_pairs(emb, threshold=0.4, n_planes=6)
+        .orderBy("vec_a", "vec_b").limit(500)
+    )
+
+
 def q_scan_around(spark, sf_dir):
     o = _ops(spark, sf_dir)
     return o.scan("merge", n_after=7, n_before=5)
@@ -955,6 +968,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_jaccard": (q_dedup_jaccard, oracle_ml.jaccard_pairs_sql(0.5, 500)),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, oracle_ml.minhash_lsh_pairs_sql(0.5, 16, 4, 500)),
     "dedup_simhash": (q_dedup_simhash, oracle_ml.simhash_groups_sql(32)),
+    "dedup_embedding": (q_dedup_embedding, oracle_ml.embedding_dup_pairs_sql(0.4, 6, 64, 500)),
     "sim_cosine_topk": (q_sim_cosine_topk, oracle_ml.cosine_topk_sql(0, 10)),
     "sim_lsh_topk": (q_sim_lsh_topk, oracle_ml.lsh_topk_sql(0, 10, 6, 1, 64)),
     "sim_ivf_topk": (q_sim_ivf_topk, oracle_ml.ivf_topk_sql(0, 10, 2)),

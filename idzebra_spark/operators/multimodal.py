@@ -2,17 +2,19 @@
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``
 kernels.
 
-The decode step is STUBBED (image/audio libraries are not in this
-container): ``decode_image``/``extract_features`` produce a
-deterministic fake derived from the bytes' md5, clearly marked. The
-Spark-side plumbing — schema, partition sizing, UDF signatures, Arrow
-batch shapes — is real and tested; swapping the fake for PIL/ffmpeg is
-a body-only change inside the kernel.
+Round 2: the decode step is REAL for uncompressed formats — a pure-
+numpy PPM (P6) image codec and a RIFF/WAV PCM-16 audio codec (no
+external libraries needed). Compressed codecs (jpeg/h264/...) remain
+STUBBED behind ``_fake_decode`` (the container has no media libs);
+swapping the stub for PIL/ffmpeg is a body-only change inside the
+kernel. The Spark-side plumbing — schema, partition sizing, UDF
+signatures, Arrow batch shapes — is identical either way.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -36,39 +38,170 @@ MEDIA_SCHEMA = T.StructType([
 FEATURES_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("media_type", T.StringType()),
+    T.StructField("codec", T.StringType()),
+    T.StructField("decoded", T.BooleanType()),  # real decode vs stub
     T.StructField("n_bytes", T.IntegerType()),
     T.StructField("features", T.ArrayType(T.FloatType())),
 ])
 
 FEATURE_DIM = 16
+WAV_RATE = 8000
 
+
+# ---------------------------------------------------------------- PPM
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """P6 binary PPM from an (h, w, 3) uint8 array."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Parse binary PPM (P6) → (h, w, 3) uint8 — pure numpy.
+
+    Header: magic, whitespace/comment-separated width height maxval,
+    one whitespace byte, then raw RGB."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    i, fields = 2, []
+    while len(fields) < 3:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":  # comment to EOL
+            while i < len(payload) and payload[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only maxval=255 supported")
+    arr = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=i)
+    return arr.reshape(h, w, 3)
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbour resize by index sampling (the 'resize' op of
+    the brief) — vectorized fancy indexing, no loops."""
+    h, w, _ = img.shape
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+def image_features(img: np.ndarray) -> np.ndarray:
+    """FEATURE_DIM vector: per-channel mean/std (6) + a 2x2 gray
+    thumbnail via nearest resize (4) + aspect + size (2), padded."""
+    f = np.zeros(FEATURE_DIM, dtype=np.float32)
+    x = img.astype(np.float32) / 255.0
+    f[0:3] = x.mean(axis=(0, 1))
+    f[3:6] = x.std(axis=(0, 1))
+    thumb = resize_nearest(img, 2, 2).astype(np.float32).mean(axis=2) / 255.0
+    f[6:10] = thumb.ravel()
+    h, w, _ = img.shape
+    f[10] = w / max(h, 1)
+    f[11] = min(h * w / 65536.0, 1.0)
+    return f
+
+
+# ---------------------------------------------------------------- WAV
+
+def encode_wav(samples: np.ndarray, rate: int = WAV_RATE) -> bytes:
+    """Minimal RIFF/WAVE, PCM 16-bit mono."""
+    data = samples.astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Parse RIFF/WAVE PCM-16 mono → (int16 samples, sample_rate).
+    Walks the chunk list (fmt / data) like any RIFF reader."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, rate, data = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i:i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4:i + 8])
+        body = payload[i + 8:i + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack("<HHI", body[:8])
+            if fmt_tag != 1 or channels != 1:
+                raise ValueError("only PCM mono supported")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        i += 8 + size + (size & 1)
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return data, rate
+
+
+def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
+    """FEATURE_DIM vector: rms, zero-crossing rate, peak, duration +
+    8 coarse magnitude-spectrum bins (numpy rfft)."""
+    f = np.zeros(FEATURE_DIM, dtype=np.float32)
+    x = samples.astype(np.float32) / 32768.0
+    if x.size == 0:
+        return f
+    f[0] = float(np.sqrt(np.mean(x * x)))
+    f[1] = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+    f[2] = float(np.abs(x).max())
+    f[3] = x.size / rate
+    spec = np.abs(np.fft.rfft(x))
+    bins = np.array_split(spec, 8)
+    f[4:12] = [float(b.mean()) if b.size else 0.0 for b in bins]
+    return f
+
+
+# ------------------------------------------------------------ synth
 
 def synth_media(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table matching MEDIA_SCHEMA."""
-    df = spark.range(n_rows).withColumnRenamed("id", "media_id")
-    mt = F.element_at(
-        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.pmod(F.xxhash64("media_id", F.lit(seed)), F.lit(3)) + 1).cast("int"),
-    )
-    payload = F.encode(
-        F.concat(F.lit("media-"), F.col("media_id").cast("string"),
-                 F.lit("-"), F.md5(F.col("media_id").cast("string"))),
-        "utf-8",
-    )
-    return df.select(
-        "media_id",
-        mt.alias("media_type"),
-        payload.alias("payload"),
-        F.struct(
-            F.lit(64).alias("width"), F.lit(64).alias("height"),
-            F.lit(1000).alias("duration_ms"), F.lit("fake").alias("codec"),
-        ).alias("meta"),
-    )
+    """Deterministic media table with REAL payloads: PPM images and
+    WAV audio generated per row (seeded by media_id), plus 'video'
+    rows with a stub codec. Generated in a mapInPandas kernel (byte
+    assembly isn't a column expression) — still fully distributed."""
+    base = spark.range(n_rows).withColumnRenamed("id", "media_id")
 
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                rng = np.random.default_rng(int(mid) * 2654435761 + seed)
+                kind = int(mid) % 3
+                if kind == 0:
+                    w, h = 8 + int(mid) % 9, 6 + int(mid) % 7
+                    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                    meta = {"width": w, "height": h, "duration_ms": 0,
+                            "codec": "ppm"}
+                    rows.append((int(mid), "image", encode_ppm(img), meta))
+                elif kind == 1:
+                    n = 400 + int(mid) % 800
+                    s = (rng.normal(0, 3000, n)).astype(np.int16)
+                    meta = {"width": 0, "height": 0,
+                            "duration_ms": int(n * 1000 / WAV_RATE),
+                            "codec": "wav"}
+                    rows.append((int(mid), "audio", encode_wav(s), meta))
+                else:
+                    fake = hashlib.md5(str(mid).encode()).digest() * 8
+                    meta = {"width": 64, "height": 64, "duration_ms": 1000,
+                            "codec": "h264-stub"}
+                    rows.append((int(mid), "video", fake, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "media_type",
+                                              "payload", "meta"])
+
+    return base.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# ------------------------------------------------------------ kernels
 
 def _fake_decode(payload: bytes) -> np.ndarray:
-    """STUB — deterministic md5-derived feature vector in [0,1).
-    Replace with a real decoder (PIL/torchvision/ffmpeg) off-container."""
+    """STUB for compressed codecs — deterministic md5-derived feature
+    vector in [0,1). Replace with PIL/torchvision/ffmpeg off-container."""
     h = hashlib.md5(payload).digest()
     raw = np.frombuffer((h * ((FEATURE_DIM * 4) // len(h) + 1))[: FEATURE_DIM * 4],
                         dtype=np.uint32)
@@ -76,23 +209,50 @@ def _fake_decode(payload: bytes) -> np.ndarray:
 
 
 def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
-    """mapInPandas feature extraction: Arrow batches in, vectorized
-    kernel per batch. At scale: repartition upstream so each task holds
-    ~(batch_size × payload) bytes; payloads never hit the driver."""
+    """mapInPandas feature extraction: Arrow batches in, numpy kernels
+    per row. PPM/WAV payloads are REALLY decoded; anything else takes
+    the marked stub path (decoded=False). At scale: repartition
+    upstream so each task holds ~(batch_size × payload) bytes;
+    payloads never hit the driver."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _fake_decode(bytes(p)).tolist() for p in pdf["payload"]
-            ]
+            feats, decoded, codecs = [], [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                codec = meta["codec"] if meta is not None else "unknown"
+                codecs.append(codec)
+                b = bytes(payload)
+                try:
+                    if codec == "ppm":
+                        feats.append(image_features(decode_ppm(b)).tolist())
+                        decoded.append(True)
+                        continue
+                    if codec == "wav":
+                        s, rate = decode_wav(b)
+                        feats.append(audio_features(s, rate).tolist())
+                        decoded.append(True)
+                        continue
+                except ValueError:
+                    pass
+                feats.append(_fake_decode(b).tolist())
+                decoded.append(False)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "media_type": pdf["media_type"],
+                "codec": codecs,
+                "decoded": decoded,
                 "n_bytes": pdf["payload"].map(len).astype("int32"),
                 "features": feats,
             })
 
     return media.mapInPandas(kernel, FEATURES_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("ts_ms", T.IntegerType()),
+    T.StructField("rms_milli", T.LongType()),
+])
 
 
 def frame_sample(media: DataFrame, every_ms: int = 250) -> DataFrame:
@@ -108,3 +268,33 @@ def frame_sample(media: DataFrame, every_ms: int = 250) -> DataFrame:
         F.explode(stamps).alias("ts_ms"),
         "payload",
     )
+
+
+def audio_frame_sample(media: DataFrame, every_ms: int = 100) -> DataFrame:
+    """REAL frame sampling over WAV audio: explode timestamps, then a
+    kernel decodes and computes per-window RMS from the actual
+    samples — the audio twin of video frame extraction."""
+    audio = media.where(F.col("meta.codec") == "wav")
+    stamps = F.sequence(
+        F.lit(0), F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+        F.lit(every_ms),
+    )
+    rows = audio.select(
+        "media_id", F.explode(stamps).alias("ts_ms"), "payload"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, ts, payload in zip(pdf["media_id"], pdf["ts_ms"],
+                                        pdf["payload"]):
+                s, rate = decode_wav(bytes(payload))
+                a = int(ts) * rate // 1000
+                b = min(a + every_ms * rate // 1000, s.size)
+                win = s[a:b].astype(np.float64) / 32768.0
+                rms = float(np.sqrt(np.mean(win * win))) if win.size else 0.0
+                out.append((int(mid), int(ts), int(round(rms * 1000))))
+            yield pd.DataFrame(out, columns=["media_id", "ts_ms",
+                                             "rms_milli"])
+
+    return rows.mapInPandas(kernel, FRAME_SCHEMA)

@@ -178,6 +178,42 @@ def lsh_topk_indexed(spark, path: str, query_vec: list[float], k: int = 10,
     return cosine_topk(cand, query_vec, k, vec_col, id_col, exclude_id)
 
 
+def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.4,
+                        n_planes: int = 6, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector analogue of
+    MinHash-LSH dedup: candidates share a hyperplane-LSH bucket (the
+    bounded band join; never all-pairs), then exact cosine verifies
+    ``>= threshold``. Returns (vec_a, vec_b, sim_micro), vec_a < vec_b.
+
+    Single-table LSH trades recall for cost (pairs split across
+    buckets are missed); raise n_planes probes/bands off-line for
+    higher recall. At 100 TB the bucket join is the only shuffle and
+    its groups are 1/2^n_planes of the corpus."""
+    vec = F.col(vec_col).cast("array<double>")
+    dim_row = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
+    dim = dim_row[0]["d"]
+    b = emb.select(
+        F.col(id_col).alias("vid"),
+        vec.alias("v"),
+        lsh_bucket(vec, dim, n_planes).alias("bucket"),
+    )
+    pairs = (
+        b.alias("a")
+        .join(b.alias("b"),
+              (F.col("a.bucket") == F.col("b.bucket"))
+              & (F.col("a.vid") < F.col("b.vid")))
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")) * 1000000, 0)
+            .cast("long").alias("sim_micro"),
+        )
+        .where(F.col("sim_micro") >= int(threshold * 1000000))
+    )
+    return pairs
+
+
 def ivf_centroids(emb: DataFrame, label_col: str = "label",
                   vec_col: str = "embedding") -> DataFrame:
     """Coarse centroids: element-wise mean vector per label.

@@ -259,6 +259,57 @@ cand AS (
 """
 
 
+def embedding_dup_pairs_sql(threshold: float = 0.4, n_planes: int = 6,
+                            dim: int = 64, limit: int = 500) -> str:
+    """Mirror of operators.similarity.embedding_dup_pairs: same-bucket
+    LSH candidates, exact cosine >= threshold on the MICRO-rounded
+    value (cross-engine stable)."""
+    return f"""
+WITH planes AS (SELECT unnest(range(0, {n_planes})) AS p),
+dims AS (SELECT unnest(range(0, {dim})) AS d),
+w AS (
+  SELECT p, d,
+         CAST(CAST(('0x' || substring(md5(p::VARCHAR || '_' || d::VARCHAR),
+                                      1, 15)) AS BIGINT) % 2001 - 1000
+              AS DOUBLE) AS wt
+  FROM planes, dims
+),
+proj AS (
+  SELECT e.vec_id, w.p, sum(e.embedding[w.d + 1]::DOUBLE * w.wt) AS proj
+  FROM embeddings e, w
+  GROUP BY e.vec_id, w.p
+),
+bucket AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+),
+cand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bucket a JOIN bucket b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+parts AS (
+  SELECT c.vec_a, c.vec_b,
+         unnest(ea.embedding::DOUBLE[]) AS x,
+         unnest(eb.embedding::DOUBLE[]) AS y
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_a
+  JOIN embeddings eb ON eb.vec_id = c.vec_b
+),
+sims AS (
+  SELECT vec_a, vec_b,
+         CAST(round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y)))
+                    * 1000000) AS BIGINT) AS sim_micro
+  FROM parts GROUP BY vec_a, vec_b
+)
+SELECT vec_a, vec_b, sim_micro FROM sims
+WHERE sim_micro >= {int(threshold * 1000000)}
+ORDER BY vec_a ASC, vec_b ASC LIMIT {limit}
+"""
+
+
 def ivf_topk_sql(query_vec_id: int = 0, k: int = 10, n_probe: int = 2) -> str:
     """Mirror of operators.similarity.ivf_topk: per-(label, dim) mean
     centroids, micro-rounded centroid-cosine probe selection (label

@@ -53,10 +53,13 @@ def test_multimodal_feature_plumbing(spark):
     feats = extract_features(media)
     rows = feats.collect()
     assert len(rows) == 50
-    for r in rows[:5]:
+    for r in rows:
         assert len(r.features) == FEATURE_DIM
-        assert all(0.0 <= x < 1.0 for x in r.features)
+        assert all(x == x for x in r.features)  # no NaNs
         assert r.n_bytes > 0
+        # PPM/WAV payloads REALLY decode; the h264 stub path is marked
+        assert r.decoded == (r.codec in ("ppm", "wav"))
+    assert {r.codec for r in rows} == {"ppm", "wav", "h264-stub"}
     # determinism: same payload → same features
     again = {r.media_id: r.features for r in extract_features(media).collect()}
     assert all(again[r.media_id] == r.features for r in rows)
@@ -64,6 +67,44 @@ def test_multimodal_feature_plumbing(spark):
     fs = frame_sample(media, every_ms=250)
     per_vid = fs.groupBy("media_id").count().collect()
     assert all(r["count"] == 4 for r in per_vid)  # 1000ms / 250ms
+
+
+def test_ppm_wav_codecs_roundtrip():
+    import numpy as np
+
+    from idzebra_spark.operators.multimodal import (
+        decode_ppm, decode_wav, encode_ppm, encode_wav, image_features,
+        resize_nearest)
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (11, 17, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    # comment + whitespace tolerant header
+    weird = b"P6\n# comment\n17\n11 255\n" + img.tobytes()
+    assert (decode_ppm(weird) == img).all()
+    small = resize_nearest(img, 2, 2)
+    assert small.shape == (2, 2, 3)
+    f = image_features(img)
+    assert abs(f[0] - img[..., 0].mean() / 255.0) < 1e-5
+
+    s = (rng.normal(0, 2000, 500)).astype(np.int16)
+    dec, rate = decode_wav(encode_wav(s, 8000))
+    assert rate == 8000 and (dec == s).all()
+
+
+def test_audio_frame_sample_real_rms(spark):
+    from idzebra_spark.operators.multimodal import (
+        audio_frame_sample, synth_media)
+
+    media = synth_media(spark, 30)
+    fr = audio_frame_sample(media, every_ms=50).collect()
+    assert fr  # audio rows exist
+    assert all(r.rms_milli >= 0 for r in fr)
+    # windows within one clip vary (real samples, not a constant stub)
+    by_id = {}
+    for r in fr:
+        by_id.setdefault(r.media_id, set()).add(r.rms_milli)
+    assert any(len(v) > 1 for v in by_id.values())
 
 
 def test_query_parser_shapes():
