@@ -851,6 +851,72 @@ _RANK2_SQL = oracle.rank1_sql(["merge", "sort"], 10).replace(
 )
 
 
+def q_seg_between(spark, sf_dir):
+    """rsbetween on the SEGMENT engine: marker positions decoded from
+    pos_bin (term_postings), depth-counting filter — same math as the
+    logical twin, no corpus re-tokenize."""
+    idx = _index(spark, sf_dir)
+    tp = idx.term_postings(["merge", "window", "group"])
+    marks = (
+        tp.where(F.col("term").isin(["window", "group"]))
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(F.collect_list(
+                F.when(F.col("term") == "window", F.col("positions"))
+            )).alias("starts"),
+            F.flatten(F.collect_list(
+                F.when(F.col("term") == "group", F.col("positions"))
+            )).alias("ends"),
+        )
+    )
+    mid = (
+        tp.where(F.col("term") == "merge")
+        .select("doc_id", F.explode("positions").alias("pos"))
+    )
+    empty = F.array().cast("array<bigint>")
+    depth = (
+        F.size(F.filter(F.coalesce(F.col("starts"), empty),
+                        lambda s: s <= F.col("pos")))
+        - F.size(F.filter(F.coalesce(F.col("ends"), empty),
+                          lambda e: e < F.col("pos")))
+    )
+    return (
+        mid.join(marks, "doc_id")
+        .where(depth > 0)
+        .select("doc_id").distinct()
+        .orderBy(F.asc("doc_id")).limit(100)
+    )
+
+
+def q_seg_within_unit(spark, sf_dir):
+    """search_group unit scoping on the SEGMENT engine: unit ids from
+    decoded boundary-marker positions."""
+    idx = _index(spark, sf_dir)
+    tp = idx.term_postings(["merge", "sort", "line"])
+    b = (
+        tp.where(F.col("term") == "line")
+        .select("doc_id", F.col("positions").alias("barr"))
+    )
+    empty = F.array().cast("array<bigint>")
+
+    def units(term):
+        p = (
+            tp.where(F.col("term") == term)
+            .select("doc_id", F.explode("positions").alias("pos"))
+        )
+        return p.join(b, "doc_id", "left").select(
+            "doc_id",
+            F.size(F.filter(F.coalesce(F.col("barr"), empty),
+                            lambda x: x < F.col("pos"))).alias("unit"),
+        ).distinct()
+
+    return (
+        units("merge").join(units("sort"), ["doc_id", "unit"])
+        .select("doc_id").distinct()
+        .orderBy(F.asc("doc_id")).limit(100)
+    )
+
+
 def q_record_fetch(spark, sf_dir):
     """Record retrieval with the 'meta' element set — hits resolved on
     the segment engine, records joined from the corpus
@@ -997,6 +1063,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "index_stats": (q_index_stats, _INDEX_STATS_SQL),
     "between_scope": (q_between_scope, _BETWEEN_SQL),
     "within_unit": (q_within_unit, _WITHIN_UNIT_SQL),
+    "seg_between": (q_seg_between, _BETWEEN_SQL),
+    "seg_within_unit": (q_seg_within_unit, _WITHIN_UNIT_SQL),
     "bool_not": (q_bool_not, oracle.bool_not_sql("merge", "sort", 100)),
     "prox_unordered": (q_prox, oracle.prox_sql("merge", "sort", 3, 100)),
     "trunc_prefix": (q_trunc_prefix, oracle.trunc_prefix_sql("sc", 100)),
