@@ -48,3 +48,29 @@ def test_stateful_dedup_across_batches(spark, tmp_path_factory):
     ).write.mode("append").parquet(in_dir)
     out2 = stream_dedup(spark, in_dir, ckpt, out_dir)
     assert sorted(r.doc_id for r in out2.collect()) == [1, 2, 3, 4]
+
+
+def test_fold_batch_replay_idempotent(spark, tmp_path_factory):
+    """foreachBatch is at-least-once: replaying a batch with the same
+    batch_id (crash after mirror write, before checkpoint commit) must
+    not duplicate (doc_id, ingest_seq) rows or double tf/doclen."""
+    from idzebra_spark.operators.wand import SegmentIndex
+    from idzebra_spark.streaming.ingest import doc_store_snapshot, fold_batch
+
+    root = tmp_path_factory.mktemp("replay")
+    index_path = str(root / "idx")
+    batch = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "gamma delta")], ["doc_id", "text"]
+    )
+    fold_batch(batch, 0, index_path, shard_size=64, block_size=32)
+    snap1 = doc_store_snapshot(spark, index_path)
+    assert snap1.count() == 2
+    # crash-replay: same batch_id again
+    fold_batch(batch, 0, index_path, shard_size=64, block_size=32)
+    snap2 = doc_store_snapshot(spark, index_path)
+    assert snap2.count() == 2  # no duplicate mirror rows
+    idx = SegmentIndex(spark, index_path)
+    n_docs, avgdl = idx.stats()
+    assert n_docs == 2
+    info = idx.lookup_terms(["alpha"])
+    assert info["alpha"]["cf"] == 2  # tf not doubled
