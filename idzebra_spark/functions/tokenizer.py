@@ -55,6 +55,7 @@ def tokenize(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    alphabet: str = "ascii",
 ) -> DataFrame:
     """Explode a corpus into logical postings ``(doc_id, term, pos)``.
 
@@ -64,7 +65,7 @@ def tokenize(
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        tokenize_array(F.col(text_col)).alias("_toks"),
+        tokenize_array(F.col(text_col), alphabet).alias("_toks"),
     )
     return toks.select(
         "doc_id",

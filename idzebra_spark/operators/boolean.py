@@ -42,18 +42,20 @@ class PostingsOps:
 
     def __init__(self, corpus: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id",
-                 fields: dict[str, list[str]] | None = None):
+                 fields: dict[str, list[str]] | None = None,
+                 alphabet: str = "ascii"):
         self.corpus = corpus
         self.text_col = text_col
         self.id_col = id_col
-        posting = tokenize(corpus, text_col, id_col)
+        self.alphabet = alphabet
+        posting = tokenize(corpus, text_col, id_col, alphabet)
         if fields:
             from idzebra_spark.functions.tokenizer import tokenize_array
 
             parts = [posting]
             for col in fields.get("w", []):
                 # word index type: split into tokens, positions 1..n
-                p = tokenize(corpus, col, id_col).withColumn(
+                p = tokenize(corpus, col, id_col, alphabet).withColumn(
                     "term", F.concat(F.lit(col + FIELD_SEP), F.col("term"))
                 )
                 parts.append(p)
@@ -64,7 +66,8 @@ class PostingsOps:
                     F.col(id_col).alias("doc_id"),
                     F.concat(
                         F.lit(col + FIELD_SEP),
-                        F.array_join(tokenize_array(F.col(col)), " "),
+                        F.array_join(tokenize_array(F.col(col), alphabet),
+                                     " "),
                     ).alias("term"),
                     F.lit(1).cast("int").alias("pos"),
                 )

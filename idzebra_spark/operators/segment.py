@@ -227,7 +227,8 @@ def content_sha(text_col: str, field_cols: list[str]) -> F.Column:
 
 
 def fielded_postings(src: DataFrame,
-                     fields: dict[str, list[str]]) -> DataFrame:
+                     fields: dict[str, list[str]],
+                     alphabet: str = "ascii") -> DataFrame:
     """Composite-key postings for extra indexed fields, unioned with
     the body-text postings. Zebra prefixes every dictionary term with
     the SU-encoded field ordinal (/root/reference/util/su_codec.c:
@@ -239,10 +240,10 @@ def fielded_postings(src: DataFrame,
     /root/reference/index/extract.c:1723-1731)."""
     from idzebra_spark.operators.boolean import FIELD_SEP
 
-    parts = [tokenize(src, "text", "doc_id")]
+    parts = [tokenize(src, "text", "doc_id", alphabet)]
     for col in fields.get("w", []):
         parts.append(
-            tokenize(src, col, "doc_id").withColumn(
+            tokenize(src, col, "doc_id", alphabet).withColumn(
                 "term", F.concat(F.lit(col + FIELD_SEP), F.col("term"))
             )
         )
@@ -252,7 +253,7 @@ def fielded_postings(src: DataFrame,
                 "doc_id",
                 F.concat(
                     F.lit(col + FIELD_SEP),
-                    F.array_join(tokenize_array(F.col(col)), " "),
+                    F.array_join(tokenize_array(F.col(col), alphabet), " "),
                 ).alias("term"),
                 F.lit(1).cast("int").alias("pos"),
             )
@@ -293,6 +294,7 @@ def build_index(
     fail_after_shards: int | None = None,
     reindex_shards: "list[int] | DataFrame | None" = None,
     fields: dict[str, list[str]] | None = None,
+    alphabet: str = "ascii",
 ) -> dict:
     """Build (or resume) the segment index at ``path``.
 
@@ -369,7 +371,7 @@ def build_index(
     # doc_meta: per-row sha256 invariant + doclen — ONE scan, no join
     meta = src.select(
         "shard", "doc_id",
-        F.size(tokenize_array(F.col("text"))).alias("doclen"),
+        F.size(tokenize_array(F.col("text"), alphabet)).alias("doclen"),
         content_sha("text", fcols).alias("sha256"),
     )
 
@@ -388,8 +390,8 @@ def build_index(
     # sorted by term so query-term predicates prune files via parquet
     # min/max stats.
     toks = (
-        fielded_postings(src, fields) if fields
-        else tokenize(src, "text", "doc_id")
+        fielded_postings(src, fields, alphabet) if fields
+        else tokenize(src, "text", "doc_id", alphabet)
     ).withColumn("shard", shard_expr(shard_size))
     aggs = [F.count("*").alias("tf")]
     if store_positions:
@@ -579,6 +581,7 @@ def update_index(
     block_size: int = DEFAULT_BLOCK_SIZE,
     store_positions: bool = True,
     fields: dict[str, list[str]] | None = None,
+    alphabet: str = "ascii",
 ) -> dict:
     """Incrementally sync the index to a new corpus snapshot.
 
@@ -608,6 +611,7 @@ def update_index(
             spark, new_corpus, path, text_col=text_col, id_col=id_col,
             shard_size=shard_size, block_size=block_size,
             store_positions=store_positions, fields=fields,
+            alphabet=alphabet,
         )
         m["changed_shards"] = m["shards"]
         return m
@@ -642,7 +646,7 @@ def update_index(
         spark, new_corpus, path, text_col=text_col, id_col=id_col,
         shard_size=shard_size, block_size=block_size,
         store_positions=store_positions, reindex_shards=changed,
-        fields=fields,
+        fields=fields, alphabet=alphabet,
     )
     changed.unpersist()
     m["changed_shards"] = n_changed

@@ -248,3 +248,27 @@ def test_fielded_query_language(spark, corpus, idx):
     assert ("term", fielded_term("source", "s1")) in tree[1]
     docs = sorted(r["doc_id"] for r in idx.eval_tree(tree).collect())
     assert docs == [5]
+
+
+def test_unicode_index_end_to_end(spark, tmp_path):
+    """alphabet='unicode' builds a queryable index over non-Latin text
+    (the ICU-charmap path, util/charmap.c analogue)."""
+    rows = [
+        (0, "данные поток данные"),
+        (1, "поток записи"),
+        (2, "plain ascii text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "uidx")
+    build_index(spark, df, path, shard_size=2, block_size=4,
+                alphabet="unicode")
+    idx = SegmentIndex(spark, path)
+    assert sorted(r["doc_id"] for r in idx.eval_tree(
+        ("term", "данные")).collect()) == [0]
+    top = idx.topk(["поток"], k=5).collect()
+    assert sorted(r["doc_id"] for r in top) == [0, 1]
+    # default ascii would have dropped the Cyrillic tokens entirely
+    path2 = str(tmp_path / "aidx")
+    build_index(spark, df, path2, shard_size=2, block_size=4)
+    idx2 = SegmentIndex(spark, path2)
+    assert idx2.eval_tree(("term", "данные")).count() == 0
