@@ -61,14 +61,22 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
     ``distinct=False`` skips the dedup shuffle — correct wherever the
     consumer is duplicate-insensitive (MinHash takes a min over the
     shingle set; duplicates can't change it)."""
-    toks = tokenize_array(F.col(text_col))
+    # A projection boundary materializes the token array ONCE per row:
+    # higher-order functions are interpreted (no codegen CSE), so
+    # inlining tokenize_array inside the lambda would re-tokenize per
+    # shingle. element_at is O(1) per token vs slice's O(n) copy.
+    base = _widen(df).select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_array(F.col(text_col)).alias("_toks"),
+    )
+    toks = F.col("_toks")
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
     )
-    out = _widen(df).select(
-        F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle")
-    )
+    out = base.select("doc_id", F.explode(sh).alias("shingle"))
     return out.distinct() if distinct else out
 
 
