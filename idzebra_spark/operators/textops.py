@@ -45,31 +45,45 @@ def quality_score(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality: doc length, punctuation ratio, stopword
     ratio, mean word length — milli-scaled ints for stable hashing."""
+    # staged projections: the token array and each ratio materialize
+    # ONCE per row — higher-order functions are interpreted (no
+    # codegen CSE), so a single flat expression tree would re-tokenize
+    # per reference
     t = F.col(text_col)
-    toks = tokenize_array(t)
-    n_chars = F.length(t)
-    n_punct = n_chars - F.length(F.regexp_replace(t, "[^0-9a-zA-Z\\s]", ""))
-    n_toks = F.size(toks)
-    stop_r = F.when(
-        n_toks > 0, _stop_hits(toks, STOPWORDS_EN) / n_toks
-    ).otherwise(F.lit(0.0))
-    punct_r = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
-    mean_wl = F.when(
-        n_toks > 0,
-        F.aggregate(toks, F.lit(0).cast("long"),
-                    lambda acc, x: acc + F.length(x)) / n_toks,
-    ).otherwise(F.lit(0.0))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(t).alias("n_chars_"),
+        (F.length(t)
+         - F.length(F.regexp_replace(t, "[^0-9a-zA-Z\\s]", ""))
+         ).alias("_n_punct"),
+        tokenize_array(t).alias("_toks"),
+    )
+    toks, n_toks = F.col("_toks"), F.size(F.col("_toks"))
+    ratios = base.select(
+        "doc_id", "n_chars_",
+        F.when(F.col("n_chars_") > 0,
+               F.col("_n_punct") / F.col("n_chars_"))
+        .otherwise(F.lit(0.0)).alias("_punct_r"),
+        F.when(n_toks > 0, _stop_hits(toks, STOPWORDS_EN) / n_toks)
+        .otherwise(F.lit(0.0)).alias("_stop_r"),
+        F.when(
+            n_toks > 0,
+            F.aggregate(toks, F.lit(0).cast("long"),
+                        lambda acc, x: acc + F.length(x)) / n_toks,
+        ).otherwise(F.lit(0.0)).alias("_mean_wl"),
+    )
     # quality = stopword presence, low punctuation, sane word length
     q = (
-        F.lit(0.5) * stop_r
-        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_r * 4, F.lit(1.0)))
-        + F.lit(0.2) * (F.lit(1.0) - F.least(F.abs(mean_wl - 5) / 5, F.lit(1.0)))
+        F.lit(0.5) * F.col("_stop_r")
+        + F.lit(0.3) * (F.lit(1.0) - F.least(F.col("_punct_r") * 4,
+                                             F.lit(1.0)))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(F.abs(F.col("_mean_wl") - 5) / 5,
+                                             F.lit(1.0)))
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        n_chars.alias("n_chars_"),
-        F.round(punct_r * 10000, 0).cast("long").alias("punct_milli"),
-        F.round(stop_r * 10000, 0).cast("long").alias("stop_milli"),
+    return ratios.select(
+        "doc_id", "n_chars_",
+        F.round(F.col("_punct_r") * 10000, 0).cast("long").alias("punct_milli"),
+        F.round(F.col("_stop_r") * 10000, 0).cast("long").alias("stop_milli"),
         F.round(q * 10000, 0).cast("long").alias("quality_milli"),
     )
 
@@ -78,10 +92,18 @@ def lang_id(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """Stopword-profile language ID over {en,de,fr}; 'unk' when no
     stopword hits. Ties break en > de > fr (fixed order)."""
-    toks = tokenize_array(F.col(text_col))
-    en = _stop_hits(toks, STOPWORDS_EN)
-    de = _stop_hits(toks, STOPWORDS_DE)
-    fr = _stop_hits(toks, STOPWORDS_FR)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_array(F.col(text_col)).alias("_toks"),
+    )
+    toks = F.col("_toks")
+    hits = base.select(
+        "doc_id",
+        _stop_hits(toks, STOPWORDS_EN).alias("en_hits"),
+        _stop_hits(toks, STOPWORDS_DE).alias("de_hits"),
+        _stop_hits(toks, STOPWORDS_FR).alias("fr_hits"),
+    )
+    en, de, fr = F.col("en_hits"), F.col("de_hits"), F.col("fr_hits")
     best = F.greatest(en, de, fr)
     lang = (
         F.when(best == 0, F.lit("unk"))
@@ -89,10 +111,8 @@ def lang_id(df: DataFrame, text_col: str = "text",
         .when(de == best, F.lit("de"))
         .otherwise(F.lit("fr"))
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        lang.alias("lang_pred"),
-        en.alias("en_hits"), de.alias("de_hits"), fr.alias("fr_hits"),
+    return hits.select(
+        "doc_id", lang.alias("lang_pred"), "en_hits", "de_hits", "fr_hits",
     )
 
 
