@@ -7,8 +7,14 @@ flattening same-operator children into one n-ary node
 :2624-2642). Here: a recursive-descent parser over an infix language
 
     expr   := and_e (OR and_e)*
-    and_e  := unary ((AND | NOT) unary)*
-    unary  := '(' expr ')' | '"' word+ '"' | word'*' | word
+    and_e  := prox_e ((AND | NOT) prox_e)*
+    prox_e := unary ((NEAR[/n] | ADJ) unary)?
+    unary  := '(' expr ')' | '"' word+ '"' | word'*'
+            | field':'word | word
+
+NEAR/n = unordered distance ≤ n (default 3), ADJ = ordered adjacent —
+the PQF ``@prox`` surface (/root/reference/index/rpnsearch.c
+rpn_prox; attrs ordered/relation/distance).
 
 producing an AST whose ``eval`` maps 1:1 onto PostingsOps — the same
 DAG shape, declared as DataFrame ops so Catalyst plans it.
@@ -57,6 +63,10 @@ class Node:
         if self.op == "not":
             return ("not", self.children[0].to_rset_tree(),
                     self.children[1].to_rset_tree())
+        if self.op == "prox":
+            rel, dist, ordered = self.value
+            return ("prox", [c.value for c in self.children],
+                    rel, dist, ordered)
         return (self.op, [c.to_rset_tree() for c in self.children])
 
     def terms(self) -> list[str]:
@@ -67,6 +77,8 @@ class Node:
             return self.value.split()
         if self.op == "prefix":
             return []
+        if self.op == "prox":
+            return [c.value for c in self.children]
         if self.op == "not":
             return self.children[0].terms()
         return [t for c in self.children for t in c.terms()]
@@ -87,6 +99,10 @@ class Query:
             return ops.trunc_docs(ops.expand_prefix(n.value))
         if n.op == "phrase":
             return ops.phrase(n.value.split()).select("doc_id")
+        if n.op == "prox":
+            rel, dist, ordered = n.value
+            return ops.prox(n.children[0].value, n.children[1].value,
+                            rel, dist, ordered)
         kids = [self._eval(c, ops) for c in n.children]
         if n.op == "and":
             return ops.and_(kids)
@@ -118,11 +134,28 @@ class _Parser:
         return left
 
     def parse_and(self) -> Node:
-        left = self.parse_unary()
+        left = self.parse_prox()
         while self.peek() in ("AND", "NOT"):
             op = self.next()
-            right = self.parse_unary()
+            right = self.parse_prox()
             left = Node("and" if op == "AND" else "not",
+                        children=[left, right])
+        return left
+
+    def parse_prox(self) -> Node:
+        left = self.parse_unary()
+        t = self.peek()
+        if t and (t == "ADJ" or t.startswith("NEAR")):
+            op = self.next()
+            right = self.parse_unary()
+            assert left.op == "term" and right.op == "term", \
+                "NEAR/ADJ operands must be plain terms"
+            if op == "ADJ":
+                # ordered, distance exactly 1 (phrase-adjacent)
+                return Node("prox", ("=", 1, True),
+                            children=[left, right])
+            dist = int(op[5:]) if op.startswith("NEAR/") else 3
+            return Node("prox", ("<=", dist, False),
                         children=[left, right])
         return left
 

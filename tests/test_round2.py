@@ -272,3 +272,44 @@ def test_unicode_index_end_to_end(spark, tmp_path):
     build_index(spark, df, path2, shard_size=2, block_size=4)
     idx2 = SegmentIndex(spark, path2)
     assert idx2.eval_tree(("term", "данные")).count() == 0
+
+
+def test_near_adj_query_syntax(spark, corpus, idx):
+    """NEAR/n and ADJ proximity operators in the query language run on
+    the segment engine (prox tree leaf) and match the logical path."""
+    from idzebra_spark.plans.query import parse
+
+    q = parse("merge NEAR/2 beta")
+    assert q.root.op == "prox" and q.root.value == ("<=", 2, False)
+    seg_docs = sorted(r["doc_id"] for r in
+                      idx.eval_tree(q.root.to_rset_tree()).collect())
+    log_docs = sorted(r["doc_id"] for r in
+                      q.eval(PostingsOps(corpus)).collect())
+    assert seg_docs == log_docs and seg_docs
+
+    adj = parse("merge ADJ group")
+    assert adj.root.value == ("=", 1, True)
+    got = sorted(r["doc_id"] for r in
+                 idx.eval_tree(adj.root.to_rset_tree()).collect())
+    want = sorted(r["doc_id"] for r in
+                  PostingsOps(corpus).phrase(["merge", "group"])
+                  .select("doc_id").collect())
+    assert got == want
+
+    mixed = parse("(merge NEAR/2 beta) AND window")
+    md = sorted(r["doc_id"] for r in
+                idx.eval_tree(mixed.root.to_rset_tree()).collect())
+    assert set(md) <= set(seg_docs)
+
+
+def test_truncation_expansion_bound(idx):
+    """dict-grep fan-out guard: expansion past MAX_EXPAND raises."""
+    import pytest as _pytest
+
+    old = idx.MAX_EXPAND
+    try:
+        SegmentIndex.MAX_EXPAND = 1
+        with _pytest.raises(ValueError, match="expands past"):
+            idx.expand("contains", "a")
+    finally:
+        SegmentIndex.MAX_EXPAND = old
