@@ -48,33 +48,15 @@ class PostingsOps:
         self.text_col = text_col
         self.id_col = id_col
         self.alphabet = alphabet
-        posting = tokenize(corpus, text_col, id_col, alphabet)
         if fields:
-            from idzebra_spark.functions.tokenizer import tokenize_array
+            # ONE implementation of the composite-key construction,
+            # shared with the segment build path (operators.segment)
+            from idzebra_spark.operators.segment import fielded_postings
 
-            parts = [posting]
-            for col in fields.get("w", []):
-                # word index type: split into tokens, positions 1..n
-                p = tokenize(corpus, col, id_col, alphabet).withColumn(
-                    "term", F.concat(F.lit(col + FIELD_SEP), F.col("term"))
-                )
-                parts.append(p)
-            for col in fields.get("p", []):
-                # complete-field type: the whole normalized field is
-                # ONE token at pos 1 (index/extract.c:1723-1731)
-                p = corpus.select(
-                    F.col(id_col).alias("doc_id"),
-                    F.concat(
-                        F.lit(col + FIELD_SEP),
-                        F.array_join(tokenize_array(F.col(col), alphabet),
-                                     " "),
-                    ).alias("term"),
-                    F.lit(1).cast("int").alias("pos"),
-                )
-                parts.append(p)
-            from functools import reduce as _reduce
-
-            posting = _reduce(lambda a, b: a.unionByName(b), parts)
+            posting = fielded_postings(corpus, fields, alphabet,
+                                       text_col=text_col, id_col=id_col)
+        else:
+            posting = tokenize(corpus, text_col, id_col, alphabet)
         self.posting = posting
 
     # ------------------------------------------------------------ leaves

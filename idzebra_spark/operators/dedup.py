@@ -70,12 +70,18 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
         tokenize_array(F.col(text_col)).alias("_toks"),
     )
     toks = F.col("_toks")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
+    # guard short docs: sequence(1, 0) would yield the DESCENDING
+    # [1, 0] and element_at past the end throws — docs with < n
+    # tokens have NO n-gram shingles
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     out = base.select("doc_id", F.explode(sh).alias("shingle"))
     return out.distinct() if distinct else out
 
@@ -168,13 +174,16 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = N_HASHES,
     # n_docs × n_hashes — tiny; caching stops the band self-join from
     # re-deriving the shingle+hash chain for each join side
     wide = minhash_signatures_wide(sh, n_hashes).cache()
-    n_bands = n_hashes // band_rows
+    # ceil division keeps the trailing PARTIAL band when n_hashes is
+    # not a band_rows multiple (the oracle's j // band_rows does too)
+    n_bands = (n_hashes + band_rows - 1) // band_rows
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
             F.md5(F.concat_ws(",", *[
                 F.col(f"m{j}").cast("string")
-                for j in range(b * band_rows, (b + 1) * band_rows)
+                for j in range(b * band_rows,
+                               min((b + 1) * band_rows, n_hashes))
             ])).alias("band_key"),
         )
         for b in range(n_bands)

@@ -232,7 +232,9 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
                         feats.append(audio_features(s, rate).tolist())
                         decoded.append(True)
                         continue
-                except ValueError:
+                except (ValueError, struct.error, IndexError):
+                    # corrupt/truncated payload → the stub path, never
+                    # a task failure (struct.error is NOT a ValueError)
                     pass
                 feats.append(_fake_decode(b).tolist())
                 decoded.append(False)
@@ -271,30 +273,30 @@ def frame_sample(media: DataFrame, every_ms: int = 250) -> DataFrame:
 
 
 def audio_frame_sample(media: DataFrame, every_ms: int = 100) -> DataFrame:
-    """REAL frame sampling over WAV audio: explode timestamps, then a
-    kernel decodes and computes per-window RMS from the actual
-    samples — the audio twin of video frame extraction."""
-    audio = media.where(F.col("meta.codec") == "wav")
-    stamps = F.sequence(
-        F.lit(0), F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
-        F.lit(every_ms),
-    )
-    rows = audio.select(
-        "media_id", F.explode(stamps).alias("ts_ms"), "payload"
-    )
+    """REAL frame sampling over WAV audio: ONE decode per clip, all
+    window RMS rows emitted from the decoded samples (the explode-
+    payload-per-frame shape would ship and re-decode the clip once per
+    window — O(frames × clip_bytes) for no reason)."""
+    audio = media.where(F.col("meta.codec") == "wav").select(
+        "media_id", "payload")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for mid, ts, payload in zip(pdf["media_id"], pdf["ts_ms"],
-                                        pdf["payload"]):
+            out_mid, out_ts, out_rms = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 s, rate = decode_wav(bytes(payload))
-                a = int(ts) * rate // 1000
-                b = min(a + every_ms * rate // 1000, s.size)
-                win = s[a:b].astype(np.float64) / 32768.0
-                rms = float(np.sqrt(np.mean(win * win))) if win.size else 0.0
-                out.append((int(mid), int(ts), int(round(rms * 1000))))
-            yield pd.DataFrame(out, columns=["media_id", "ts_ms",
-                                             "rms_milli"])
+                if s.size == 0:
+                    continue
+                win = max(1, every_ms * rate // 1000)
+                starts = np.arange(0, s.size, win)
+                x2 = (s.astype(np.float64) / 32768.0) ** 2
+                sums = np.add.reduceat(x2, starts)
+                sizes = np.minimum(starts + win, s.size) - starts
+                rms = np.sqrt(sums / sizes)
+                out_mid.extend([int(mid)] * starts.size)
+                out_ts.extend((starts * 1000 // rate).tolist())
+                out_rms.extend(np.round(rms * 1000).astype(int).tolist())
+            yield pd.DataFrame({"media_id": out_mid, "ts_ms": out_ts,
+                                "rms_milli": out_rms})
 
-    return rows.mapInPandas(kernel, FRAME_SCHEMA)
+    return audio.mapInPandas(kernel, FRAME_SCHEMA)

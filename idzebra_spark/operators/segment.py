@@ -228,7 +228,9 @@ def content_sha(text_col: str, field_cols: list[str]) -> F.Column:
 
 def fielded_postings(src: DataFrame,
                      fields: dict[str, list[str]],
-                     alphabet: str = "ascii") -> DataFrame:
+                     alphabet: str = "ascii",
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
     """Composite-key postings for extra indexed fields, unioned with
     the body-text postings. Zebra prefixes every dictionary term with
     the SU-encoded field ordinal (/root/reference/util/su_codec.c:
@@ -240,17 +242,17 @@ def fielded_postings(src: DataFrame,
     /root/reference/index/extract.c:1723-1731)."""
     from idzebra_spark.operators.boolean import FIELD_SEP
 
-    parts = [tokenize(src, "text", "doc_id", alphabet)]
+    parts = [tokenize(src, text_col, id_col, alphabet)]
     for col in fields.get("w", []):
         parts.append(
-            tokenize(src, col, "doc_id", alphabet).withColumn(
+            tokenize(src, col, id_col, alphabet).withColumn(
                 "term", F.concat(F.lit(col + FIELD_SEP), F.col("term"))
             )
         )
     for col in fields.get("p", []):
         parts.append(
             src.select(
-                "doc_id",
+                F.col(id_col).alias("doc_id"),
                 F.concat(
                     F.lit(col + FIELD_SEP),
                     F.array_join(tokenize_array(F.col(col), alphabet), " "),

@@ -853,25 +853,44 @@ class SegmentIndex:
 
     MAX_EXPAND = 10000  # truncation fan-out bound (dict grep limit)
 
-    def expand(self, kind: str, pattern: str) -> list[str]:
+    def expand(self, kind: str, pattern: str,
+               field: str | None = None) -> list[str]:
         """Dictionary truncation expansion — Zebra's dict_lookup_grep
         over the term dictionary (/root/reference/index/rpnsearch.c:
         1148-1254): 'prefix' = right trunc (attr 5=1), 'suffix' = left
         trunc (5=2), 'contains' = both (5=3), 'regex' = regexp-1
         (5=102), 'z3958' = ?n/# masking (5=104). Returns the sorted
-        matching terms (bounded by MAX_EXPAND)."""
+        matching terms (bounded by MAX_EXPAND).
+
+        Expansion is scoped to one register: by default the BODY text
+        (composite ``field\\x1fterm`` keys excluded), or a single
+        field's keys via ``field=`` — exactly as Zebra anchors
+        dict_lookup_grep under one ordinal prefix
+        (/root/reference/index/rpnsearch.c:1269-1272). Without the
+        scope, ('suffix', 'en') on a fielded index would match
+        'lang\\x1fen' and return every lang=en doc."""
+        from idzebra_spark.operators.boolean import FIELD_SEP
+
         d = self.dictionary().select("term")
+        if field is None:
+            d = d.where(~F.col("term").contains(FIELD_SEP))
+            base = F.col("term")
+        else:
+            # match against the in-field term, return the composite key
+            pfx = field + FIELD_SEP
+            d = d.where(F.col("term").startswith(pfx))
+            base = F.expr(f"substring(term, {len(pfx) + 1})")
         pat = pattern.lower()
         if kind == "prefix":
-            d = d.where(F.col("term").startswith(pat))
+            d = d.where(base.startswith(pat))
         elif kind == "suffix":
-            d = d.where(F.col("term").endswith(pat))
+            d = d.where(base.endswith(pat))
         elif kind == "contains":
-            d = d.where(F.col("term").contains(pat))
+            d = d.where(base.contains(pat))
         elif kind == "regex":
-            d = d.where(F.col("term").rlike(pattern))
+            d = d.where(base.rlike(pattern))
         elif kind == "z3958":
-            d = d.where(F.col("term").rlike(z3958_to_regex(pat)))
+            d = d.where(base.rlike(z3958_to_regex(pat)))
         else:
             raise ValueError(f"unknown expansion kind {kind!r}")
         rows = d.limit(self.MAX_EXPAND + 1).collect()

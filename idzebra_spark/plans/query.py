@@ -145,7 +145,9 @@ class _Parser:
     def parse_prox(self) -> Node:
         left = self.parse_unary()
         t = self.peek()
-        if t and (t == "ADJ" or t.startswith("NEAR")):
+        # exact operator forms only — 'NEARBY'/'NEAREST' are terms
+        if t and (t == "ADJ" or t == "NEAR"
+                  or re.fullmatch(r"NEAR/\d+", t)):
             op = self.next()
             right = self.parse_unary()
             assert left.op == "term" and right.op == "term", \

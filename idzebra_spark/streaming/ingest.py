@@ -18,6 +18,13 @@ Spark-native equivalent:
 
 Partial batches therefore never imply deletions, and a shard rebuild
 always sees the full shard content via the mirror.
+
+Mirror layout (v2): one ``ingest_seq=<batch_id>`` PARTITION directory
+per micro-batch, written with overwrite — replays of the same batch_id
+are idempotent. A v1 mirror (ingest_seq as a data column in root-level
+files) is not directory-compatible; migrate by rewriting it
+partitioned (`read → write.partitionBy('ingest_seq')`) before
+resuming an old checkpoint.
 """
 
 from __future__ import annotations

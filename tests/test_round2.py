@@ -313,3 +313,95 @@ def test_truncation_expansion_bound(idx):
             idx.expand("contains", "a")
     finally:
         SegmentIndex.MAX_EXPAND = old
+
+
+def test_shingles_short_and_empty_docs(spark):
+    """Docs with < n tokens produce no shingles (and no crash) on
+    every dedup path."""
+    from idzebra_spark.operators.dedup import (
+        jaccard_pairs, minhash_lsh_pairs, shingles)
+
+    rows = [(0, ""), (1, "only two"), (2, "one"),
+            (3, "alpha beta gamma delta"), (4, "alpha beta gamma delta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingles(df).collect()
+    assert {r.doc_id for r in sh} == {3, 4}
+    pairs = {(r.doc_a, r.doc_b) for r in
+             minhash_lsh_pairs(df, threshold=0.9).collect()}
+    assert pairs == {(3, 4)}
+    assert jaccard_pairs(df, threshold=0.9).count() == 1
+
+
+def test_minhash_partial_band(spark):
+    """n_hashes not divisible by band_rows keeps the trailing partial
+    band (matches the oracle's j // band_rows grouping)."""
+    from idzebra_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [(0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon zeta eta"),
+            (2, "unrelated words entirely different content here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.doc_a, r.doc_b) for r in
+           minhash_lsh_pairs(df, n_hashes=16, band_rows=5,
+                             threshold=0.5).collect()}
+    assert out == {(0, 1)}
+
+
+def test_corrupt_media_takes_stub_path(spark):
+    """Truncated/corrupt payloads must fall back to the stub, not kill
+    the task (struct.error is not a ValueError)."""
+    from idzebra_spark.operators.multimodal import extract_features
+
+    rows = [
+        (0, "audio", b"RIFF\x10\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01\x00",
+         {"width": 0, "height": 0, "duration_ms": 10, "codec": "wav"}),
+        (1, "image", b"P6 garbage",
+         {"width": 2, "height": 2, "duration_ms": 0, "codec": "ppm"}),
+    ]
+    from idzebra_spark.operators.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r.decoded for r in extract_features(df).collect()}
+    assert got == {0: False, 1: False}
+
+
+def test_near_prefix_terms_are_not_operators():
+    """Only the exact forms NEAR, NEAR/<digits>, ADJ are prox
+    operators. NEARBY/NEAR/2x are ordinary (term) tokens — and since
+    this language requires explicit connectives, bare juxtaposition
+    is a syntax error, NOT a silent prox query."""
+    from idzebra_spark.plans.query import parse
+
+    with pytest.raises(AssertionError, match="trailing tokens"):
+        parse("foo NEARBY bar")
+    with pytest.raises(AssertionError, match="trailing tokens"):
+        parse("a NEAR/2x b")
+    assert parse("foo NEAR bar").root.value == ("<=", 3, False)
+
+
+def test_expand_scoped_to_body_register(idx):
+    """Truncation expansion must not leak composite field keys: the
+    fielded index has 'lang\\x1fen' but ('suffix','en') only matches
+    BODY terms; field='lang' scopes to that register."""
+    from idzebra_spark.operators.boolean import FIELD_SEP
+
+    body = idx.expand("suffix", "en")
+    assert all(FIELD_SEP not in t for t in body)
+    assert "lang" + FIELD_SEP + "en" not in body
+    lang_terms = idx.expand("prefix", "e", field="lang")
+    assert lang_terms == ["lang" + FIELD_SEP + "en"]
+
+
+@pytest.mark.parametrize("relation,ordered", [
+    ("=", False), ("<=", False), ("<=", True), ("<>", False), (">", False),
+])
+def test_prox_same_term_both_engines(idx, corpus, relation, ordered):
+    """t1 == t2 proximity: segment kernel == logical join semantics
+    (same-position self-pairs excluded when unordered)."""
+    for distance in (1, 2):
+        got = sorted(r["doc_id"] for r in idx.eval_tree(
+            ("prox", ["alpha", "alpha"], relation, distance, ordered)
+        ).collect())
+        want = sorted(r["doc_id"] for r in PostingsOps(corpus).prox(
+            "alpha", "alpha", relation, distance, ordered).collect())
+        assert got == want, (relation, distance, ordered, got, want)
