@@ -106,6 +106,15 @@ def main() -> None:
 
     run("q_dedup_minhash_lsh", _dedup)
 
+    def _dedup_emb():
+        from pyspark.sql import functions as F
+
+        from idzebra_spark.operators.similarity import embedding_dup_pairs
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        embedding_dup_pairs(emb, threshold=0.4, n_planes=6).collect()
+
+    run("q_dedup_embedding", _dedup_emb)
+
     def _cosine():
         from pyspark.sql import functions as F
 

@@ -172,7 +172,10 @@ def minhash_lsh_pairs(df: DataFrame, n_hashes: int = N_HASHES,
     explode)."""
     sh = shingles(df, n, text_col, id_col, distinct=False)
     # n_docs × n_hashes — tiny; caching stops the band self-join from
-    # re-deriving the shingle+hash chain for each join side
+    # re-deriving the shingle+hash chain for each join side. Caches in
+    # this operator are left to Spark's LRU (storage is evictable —
+    # long sessions shed them under memory pressure); callers that
+    # materialize the result may unpersist via spark.catalog.clearCache
     wide = minhash_signatures_wide(sh, n_hashes).cache()
     # ceil division keeps the trailing PARTIAL band when n_hashes is
     # not a band_rows multiple (the oracle's j // band_rows does too)

@@ -54,31 +54,27 @@ def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     return out.orderBy(F.desc("sim_micro"), F.asc("vec_id")).limit(k)
 
 
-def _plane_weight(p: Column, d: Column) -> Column:
-    """Deterministic pseudo-random weight in [-1000, 1000] from md5."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(p.cast("string"), F.lit("_"), d.cast("string"))),
-            1, 15,
-        ),
-        16, 10,
-    ).cast("long")
-    return (F.pmod(h, F.lit(2001)) - 1000).cast("double")
+def plane_weight(p: int, d: int) -> float:
+    """Deterministic pseudo-random weight in [-1000, 1000] from md5 —
+    computed driver-side (hashlib md5 == Spark md5 == DuckDB md5 on
+    the same string, so all three engines share the planes)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16)
+    return float(h % 2001 - 1000)
 
 
 def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
-    """Sign-bit bucket id over ``n_planes`` md5-derived hyperplanes."""
+    """Sign-bit bucket id over ``n_planes`` md5-derived hyperplanes.
+
+    The weights are row-INDEPENDENT, so they're baked in as literal
+    arrays (n_planes × dim floats in the plan) — the executor does one
+    multiply-add fold per plane, not n_planes × dim md5 calls per row."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
+        wlit = F.array(*[F.lit(plane_weight(p, d)) for d in range(dim)])
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda d: _plane_weight(F.lit(p), d),
-                ),
-                lambda x, w: x * w,
-            ),
+            F.zip_with(vec, wlit, lambda x, w: x * w),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -93,18 +89,11 @@ def query_bucket(query_vec: list[float], n_planes: int = 8,
                  dim: int | None = None) -> int:
     """Driver-side bucket of a query vector (same md5-derived planes
     as :func:`lsh_bucket`) — O(n_planes × dim) scalar math."""
-    import hashlib
-
     dim = dim or len(query_vec)
-
-    def w(p: int, d: int) -> float:
-        h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16)
-        return float(h % 2001 - 1000)
-
     return sum(
         (1 << p)
         for p in range(n_planes)
-        if sum(query_vec[d] * w(p, d) for d in range(dim)) > 0
+        if sum(query_vec[d] * plane_weight(p, d) for d in range(dim)) > 0
     )
 
 
@@ -193,11 +182,13 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.4,
     vec = F.col(vec_col).cast("array<double>")
     dim_row = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
     dim = dim_row[0]["d"]
+    # cache: the bucket projection is an interpreted fold over
+    # n_planes × dim — compute it once, not once per join side
     b = emb.select(
         F.col(id_col).alias("vid"),
         vec.alias("v"),
         lsh_bucket(vec, dim, n_planes).alias("bucket"),
-    )
+    ).cache()
     pairs = (
         b.alias("a")
         .join(b.alias("b"),
