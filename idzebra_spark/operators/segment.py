@@ -158,9 +158,16 @@ def _build_shard_blocks(block_size: int, store_positions: bool):
         tfs_bin = [tbuf[toff[s]:toff[e]] for s, e in zip(bs_idx, be_idx)]
 
         if store_positions:
+            import itertools
+
             pos_lists = pdf["positions"].to_numpy()[order]
-            p = np.concatenate([np.asarray(x, dtype=np.int64)
-                                for x in pos_lists]) if n else np.empty(0, np.int64)
+            total = int(tf.sum())
+            # one C-level iteration over the flattened lists — not a
+            # Python np.asarray per posting row
+            p = np.fromiter(
+                itertools.chain.from_iterable(pos_lists),
+                dtype=np.int64, count=total,
+            ) if n else np.empty(0, np.int64)
             tok_start = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(tf, out=tok_start[1:])
             pdelta = np.empty(p.size, dtype=np.uint64)
@@ -214,11 +221,11 @@ def content_sha(text_col: str, field_cols: list[str]) -> F.Column:
     the field values too, so a field-only edit is seen by the
     update-diff (null fields hash as empty)."""
     if not field_cols:
-        return F.sha2(F.col(text_col), 256)
+        return F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
     return F.sha2(
         F.concat_ws(
             "\x1e",
-            F.col(text_col),
+            F.coalesce(F.col(text_col), F.lit("")),
             *[F.coalesce(F.col(c).cast("string"), F.lit(""))
               for c in field_cols],
         ),
@@ -327,8 +334,12 @@ def build_index(
     batch = f"b{build_seq:05d}"
 
     fcols = _field_cols(fields)
+    # null text → '' here, once: downstream doclen would otherwise be
+    # size(NULL) = -1 (poisoned BM25 norms) and sha2(NULL) = NULL
+    # (update_index would rebuild the shard on every sync)
     src = corpus.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"),
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
         *[F.col(c) for c in fcols],
     ).withColumn("shard", shard_expr(shard_size))
 
@@ -398,6 +409,10 @@ def build_index(
     aggs = [F.count("*").alias("tf")]
     if store_positions:
         aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+    # drop null/empty terms (a null 'p' field value yields term=NULL;
+    # pandas factorize would code it -1 and negative-index the uniques
+    # array, silently corrupting the last term's blocks)
+    toks = toks.where(F.col("term").isNotNull() & (F.col("term") != ""))
     tf_rows = toks.groupBy("shard", "term", "doc_id").agg(*aggs)
     blocks = tf_rows.groupBy("shard").applyInPandas(
         _build_shard_blocks(block_size, store_positions), BLOCK_SCHEMA
@@ -606,6 +621,7 @@ def update_index(
         content_sha(text_col, fcols).alias("sha256"),
         *[F.col(c) for c in fcols],
     ).withColumn("shard", shard_expr(shard_size))
+    # (content_sha coalesces null text to '' — same as build_index)
 
     lineage = read_lineage(spark, path)
     if lineage is None:

@@ -18,9 +18,10 @@ optimizations the reference leans on:
 
 Distribution: blocks and norms are cogrouped by shard — scoring is
 embarrassingly parallel across shards (no cross-shard traffic), then a
-tiny global top-k merge. θ for OR queries is seeded by fully scoring
-only the highest-idf (rarest) query term — one cheap distributed pass —
-then passed into the main kernel as a constant.
+tiny global top-k merge. θ for OR queries is seeded IN-KERNEL: the
+rarest term is decoded first and its k-th solo score becomes the
+pruning threshold for the remaining terms' blocks (no extra
+distributed pass).
 """
 
 from __future__ import annotations
@@ -40,10 +41,6 @@ TOPK_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("raw", T.DoubleType()),
     T.StructField("n_matched", T.IntegerType()),
-])
-
-COUNT_SCHEMA = T.StructType([
-    T.StructField("hits", T.LongType()),
 ])
 
 RESULT_SCHEMA = T.StructType([
@@ -72,6 +69,27 @@ def _decode_docids_tfs(docids_bins, tfs_bins, n_docs):
     base = cs[starts] - all_deltas[starts]
     docids = cs - np.repeat(base, counts)
     return docids, tfs
+
+
+
+
+def _undo_pos_deltas(pdeltas: np.ndarray, tfv: np.ndarray) -> np.ndarray:
+    """Restore absolute positions from per-doc-reset deltas: cumsum
+    minus each doc's base (first value of every doc is absolute).
+    Raises a CLEAR error when the index has no stored positions."""
+    total = int(tfv.sum())
+    if pdeltas.size != total:
+        raise ValueError(
+            "position payload is empty/short — this index was built "
+            "with store_positions=False; phrase/proximity/first-in-"
+            "field need positions (rebuild with store_positions=True)")
+    starts = np.zeros(tfv.size + 1, dtype=np.int64)
+    np.cumsum(tfv, out=starts[1:])
+    doc_starts = starts[:-1]
+    cs = np.cumsum(pdeltas)
+    base = cs[doc_starts] - pdeltas[doc_starts]
+    return cs - np.repeat(base, tfv)
+
 
 
 def _decode_norms(norms_pdf: pd.DataFrame):
@@ -269,13 +287,7 @@ def _decode_block_rows(g: pd.DataFrame, want_positions: bool):
         pdeltas = varint_decode(
             b"".join(bytes(x) for x in g["pos_bin"])
         ).astype(np.int64)
-        # undo per-doc delta reset: cumsum minus per-doc base
-        starts = np.zeros(d.size + 1, dtype=np.int64)
-        np.cumsum(tfv, out=starts[1:])
-        doc_starts = starts[:-1]
-        cs = np.cumsum(pdeltas)
-        base = cs[doc_starts] - pdeltas[doc_starts]
-        p = cs - np.repeat(base, tfv)
+        p = _undo_pos_deltas(pdeltas, tfv)
     # blocks arrive per (block_seq) and docids are globally sorted per
     # (term, shard) by construction; enforce order defensively
     o = np.argsort(d, kind="mergesort")
@@ -682,12 +694,9 @@ def _decode_rows_flat(pdf: pd.DataFrame, want_positions: bool):
         pdeltas = varint_decode(
             b"".join(bytes(x) for x in pdf["pos_bin"])
         ).astype(np.int64)
+        p = _undo_pos_deltas(pdeltas, tfv)
         starts = np.zeros(d.size + 1, dtype=np.int64)
         np.cumsum(tfv, out=starts[1:])
-        doc_starts = starts[:-1]
-        cs = np.cumsum(pdeltas)
-        base = cs[doc_starts] - pdeltas[doc_starts]
-        p = cs - np.repeat(base, tfv)
         pos_lists = np.split(p, starts[1:-1])
     return term_rep, d, tfv, pos_lists
 
@@ -708,7 +717,6 @@ class SegmentIndex:
         # latest committed batch per shard (update/reindex wins by seq)
         w_latest = lineage.groupBy("shard").agg(
             F.max("build_seq").alias("build_seq"),
-            F.count("*").alias("n_versions"),
         )
         self.shard_batch = (
             lineage.join(w_latest, ["shard", "build_seq"])
@@ -716,11 +724,18 @@ class SegmentIndex:
             .cache()
         )
         self._batches = [r["batch"] for r in self.shard_batch.select("batch").distinct().collect()]
-        # if any shard was reindexed, per-batch dictionary/stats
-        # partials contain stale contributions — derive from the
-        # shard-filtered tables instead
+        # The per-batch dictionary partials are exact iff every LIVE
+        # batch is FULLY live (none of its shards were superseded by a
+        # later reindex). Checking partial liveness — not raw version
+        # counts — means compaction restores the fast path (the
+        # compacted batch covers every shard).
+        per_batch_total = lineage.groupBy("batch").agg(
+            F.count("*").alias("t"))
+        per_batch_live = self.shard_batch.groupBy("batch").agg(
+            F.count("*").alias("l"))
         self._has_reindex = (
-            w_latest.where(F.col("n_versions") > 1).limit(1).count() > 0
+            per_batch_live.join(per_batch_total, "batch")
+            .where(F.col("t") != F.col("l")).limit(1).count() > 0
         )
         self.blocks = spark.read.parquet(f"{path}/blocks").join(
             F.broadcast(self.shard_batch), ["shard", "batch"], "semi"
@@ -745,7 +760,10 @@ class SegmentIndex:
             s = self.norms.agg(
                 F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s")
             ).collect()[0]
-            self._stats = (int(s["n"]), float(s["s"]) / float(s["n"]))
+            if not s["n"]:  # fully-tombstoned/empty index
+                self._stats = (0, 0.0)
+            else:
+                self._stats = (int(s["n"]), float(s["s"]) / float(s["n"]))
         return self._stats
 
     def dictionary(self) -> DataFrame:
@@ -824,6 +842,8 @@ class SegmentIndex:
         neg = tuple(sorted(set(t.lower() for t in (not_terms or []))))
         terms = sorted(set(t.lower() for t in terms))
         n_docs, avgdl = self.stats()
+        if n_docs == 0:
+            return self._empty_result()
         info = self.lookup_terms(terms)
         if mode == "and" and len(info) < len(terms):
             return self._empty_result()
@@ -901,10 +921,18 @@ class SegmentIndex:
         return sorted(r["term"] for r in rows)
 
     def _expand_tree(self, tree):
-        """Replace truncation leaves with ('terms', [...]) lists."""
+        """Replace truncation leaves with ('terms', [...]) lists. A
+        pattern carrying a composite ``field\x1f`` prefix expands
+        within that field's register (fielded wildcards)."""
+        from idzebra_spark.operators.boolean import FIELD_SEP
+
         op = tree[0]
         if op in ("prefix", "suffix", "contains", "regex", "z3958"):
-            return ("terms", self.expand(op, tree[1]))
+            pat = tree[1]
+            if FIELD_SEP in pat:
+                field, sub = pat.split(FIELD_SEP, 1)
+                return ("terms", self.expand(op, sub, field=field))
+            return ("terms", self.expand(op, pat))
         if op in ("and", "or"):
             return (op, [self._expand_tree(c) for c in tree[1]])
         if op == "not":

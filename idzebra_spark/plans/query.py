@@ -170,7 +170,14 @@ class _Parser:
         if t.startswith('"'):
             return Node("phrase", t.strip('"').lower())
         if t.endswith("*"):
-            return Node("prefix", t[:-1].lower())
+            body = t[:-1]
+            if ":" in body[1:]:
+                # fielded wildcard `field:term*` → composite-key prefix
+                from idzebra_spark.operators.boolean import fielded_term
+
+                field, term = body.split(":", 1)
+                return Node("prefix", fielded_term(field, term))
+            return Node("prefix", body.lower())
         if ":" in t[1:-1]:
             # fielded term `field:term` — Zebra's @attr 1=<field>
             # scoping, mapped to the composite field\x1fterm key

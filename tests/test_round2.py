@@ -405,3 +405,88 @@ def test_prox_same_term_both_engines(idx, corpus, relation, ordered):
         want = sorted(r["doc_id"] for r in PostingsOps(corpus).prox(
             "alpha", "alpha", relation, distance, ordered).collect())
         assert got == want, (relation, distance, ordered, got, want)
+
+
+def test_null_field_and_null_text_are_safe(spark, tmp_path):
+    """NULL 'p'-field values must not corrupt another term's blocks
+    (factorize -1 guard) and NULL text must not poison doclen/sha."""
+    from idzebra_spark.operators.segment import update_index
+
+    rows = [(0, "alpha beta", "en"), (1, "beta gamma", None),
+            (2, None, "de")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    path = str(tmp_path / "nidx")
+    fields = {"p": ["lang"]}
+    build_index(spark, df, path, shard_size=2, block_size=4, fields=fields)
+    idx = SegmentIndex(spark, path)
+    terms = {r["term"] for r in idx.dictionary().collect()}
+    assert None not in terms and "" not in terms
+    # doc 1 (null lang) contributes NO lang key; doc 2 (null text) has
+    # doclen 0 and its lang key only
+    assert sorted(r["doc_id"] for r in idx.eval_tree(
+        ("term", fielded_term("lang", "de"))).collect()) == [2]
+    assert sorted(r["doc_id"] for r in idx.eval_tree(
+        ("term", "beta")).collect()) == [0, 1]
+    n, avgdl = idx.stats()
+    assert n == 3 and avgdl == pytest.approx(4 / 3)
+    # idempotent update: same snapshot → zero changed shards (the
+    # NULL-text sha must be stable, not NULL)
+    m = update_index(spark, df, path, shard_size=2, block_size=4,
+                     fields=fields)
+    assert m["changed_shards"] == 0
+
+
+def test_positions_error_is_clear(spark, tmp_path):
+    path = str(tmp_path / "nopos")
+    df = spark.createDataFrame([(0, "a b c"), (1, "b c d")],
+                               "doc_id long, text string")
+    build_index(spark, df, path, shard_size=2, block_size=4,
+                store_positions=False)
+    idx = SegmentIndex(spark, path)
+    # boolean/topk still work without positions
+    assert idx.topk(["b"], 5).count() == 2
+    with pytest.raises(Exception, match="store_positions"):
+        idx.phrase(["b", "c"], 5).collect()
+
+
+def test_compact_restores_dictionary_fast_path(spark, corpus, tmp_path):
+    from idzebra_spark.operators.segment import compact_index, update_index
+
+    path = str(tmp_path / "cidx")
+    build_index(spark, corpus, path, shard_size=2, block_size=4)
+    assert not SegmentIndex(spark, path)._has_reindex
+    changed = corpus.withColumn(
+        "text", F.when(F.col("doc_id") == 0,
+                       F.lit("totally new words")).otherwise(F.col("text")))
+    update_index(spark, changed, path, shard_size=2, block_size=4)
+    assert SegmentIndex(spark, path)._has_reindex  # partial batches live
+    compact_index(spark, path)
+    idx = SegmentIndex(spark, path)
+    assert not idx._has_reindex  # compaction made one fully-live batch
+    assert sorted(r["doc_id"] for r in idx.eval_tree(
+        ("term", "totally")).collect()) == [0]
+
+
+def test_fielded_wildcard_query(idx):
+    """`field:prefix*` expands within the field register."""
+    from idzebra_spark.plans.query import parse
+
+    q = parse("source:s* AND merge")
+    docs = sorted(r["doc_id"] for r in
+                  idx.eval_tree(q.root.to_rset_tree()).collect())
+    # every doc has source s1/s2, so this is just docs containing merge
+    assert docs == [1, 2, 3, 5]
+
+
+def test_empty_index_queries_return_empty(spark, tmp_path):
+    from idzebra_spark.operators.segment import update_index
+
+    path = str(tmp_path / "eidx")
+    df = spark.createDataFrame([(0, "a b"), (1, "c d")],
+                               "doc_id long, text string")
+    build_index(spark, df, path, shard_size=2, block_size=4)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    update_index(spark, empty, path, shard_size=2, block_size=4)
+    idx = SegmentIndex(spark, path)
+    assert idx.stats() == (0, 0.0)
+    assert idx.topk(["a"], 5).count() == 0
