@@ -68,21 +68,29 @@ class ZebraSpark:
         self._corpus = corpus
         self._idx: SegmentIndex | None = None
         self._ops: PostingsOps | None = None
+        self._fields: dict[str, list[str]] | None = None
+        self._alphabet = "ascii"
 
     # ------------------------------------------------------- lifecycle
 
     def build(self, corpus: DataFrame, **kw) -> dict:
         self._corpus = corpus
+        self._fields = kw.get("fields", self._fields)
+        self._alphabet = kw.get("alphabet", self._alphabet)
         m = build_index(self.spark, corpus, self.path,
                         text_col=self.text_col, id_col=self.id_col, **kw)
         self._idx = None
+        self._ops = None
         return m
 
     def update(self, new_corpus: DataFrame, **kw) -> dict:
         self._corpus = new_corpus
+        self._fields = kw.get("fields", self._fields)
+        self._alphabet = kw.get("alphabet", self._alphabet)
         m = update_index(self.spark, new_corpus, self.path,
                          text_col=self.text_col, id_col=self.id_col, **kw)
         self._idx = None
+        self._ops = None
         return m
 
     def compact(self) -> dict:
@@ -105,6 +113,7 @@ class ZebraSpark:
             for r in lineage.join(w_latest, ["shard", "build_seq"])
             .select("batch").distinct().collect()
         }
+        self._idx = None  # cached file listings would point at orphans
         removed = []
         for table in ("blocks", "norms", "doc_meta", "dictionary"):
             tdir = os.path.join(self.path, table)
@@ -131,8 +140,17 @@ class ZebraSpark:
             if self._corpus is None:
                 raise ValueError("corpus DataFrame required for "
                                  "positional/logical operators")
-            self._ops = PostingsOps(self._corpus, self.text_col, self.id_col)
+            self._ops = PostingsOps(self._corpus, self.text_col,
+                                    self.id_col, fields=self._fields,
+                                    alphabet=self._alphabet)
         return self._ops
+
+    def _require_corpus(self) -> DataFrame:
+        if self._corpus is None:
+            raise ValueError(
+                "corpus DataFrame required for facets/snippets/fetch "
+                "(pass corpus= to ZebraSpark or call build/update first)")
+        return self._corpus
 
     # ----------------------------------------------------------- query
 
@@ -183,7 +201,7 @@ class ZebraSpark:
         from the segment engine; the corpus is touched only for the
         facet column, via a semi-join (column-pruned scan)."""
         hits = self.index.eval_tree(parse(query).root.to_rset_tree())
-        src = self._corpus.select(
+        src = self._require_corpus().select(
             F.col(self.id_col).alias("doc_id"), F.col(facet_col)
         )
         return (
@@ -200,7 +218,7 @@ class ZebraSpark:
         (/root/reference/index/retrieve.c:1026-1119: element set names
         select full record vs metadata vs snippet rendering). Accepts
         an id list or a (doc_id) DataFrame (a result set)."""
-        src = self._corpus
+        src = self._require_corpus()
         ids = (
             doc_ids.select(F.col("doc_id").alias(self.id_col))
             if isinstance(doc_ids, DataFrame)
@@ -219,7 +237,8 @@ class ZebraSpark:
             return out.select(
                 self.id_col,
                 F.array_join(
-                    F.slice(tokenize_array(F.col(self.text_col)), 1, 10), " "
+                    F.slice(tokenize_array(F.col(self.text_col),
+                                           self._alphabet), 1, 10), " "
                 ).alias("head"),
             ).orderBy(self.id_col)
         raise ValueError(f"unknown element set {elements!r}")
@@ -255,9 +274,9 @@ class ZebraSpark:
             self.index.term_postings([term], with_positions=True)
             .select("doc_id", F.element_at("positions", 1).alias("pos"))
         )
-        toks = self._corpus.select(
+        toks = self._require_corpus().select(
             F.col(self.id_col).alias("doc_id"),
-            tokenize_array(F.col(self.text_col)).alias("toks"),
+            tokenize_array(F.col(self.text_col), self._alphabet).alias("toks"),
         )
         start = F.greatest(F.col("pos") - window, F.lit(1))
         length = F.least(

@@ -122,7 +122,18 @@ class PostingsOps:
             ">": diff > distance, "<>": diff != distance,
         }
         cond = (F.col("a.doc_id") == F.col("b.doc_id")) & ops[relation]
-        if not ordered:
+        if ordered:
+            # the reference never counts wrong-order pairs: the fast
+            # path (rsprox.c:181-194, relations <,<=,=) requires the
+            # second term strictly AFTER the first (cmp > 0); the
+            # generic path (rsprox.c:249-277) requires diff >= 0
+            floor0 = (
+                (F.col("b.pos") - F.col("a.pos")) > 0
+                if relation in ("<", "<=", "=")
+                else (F.col("b.pos") - F.col("a.pos")) >= 0
+            )
+            cond = cond & floor0
+        else:
             cond = cond & (F.col("a.pos") != F.col("b.pos"))
         return (
             p1.join(p2, cond)
@@ -240,6 +251,7 @@ class PostingsOps:
         position p = count(left.pos <= p) - count(right.pos < p) > 0.
         Declarative form: per-doc sorted marker arrays + a counting
         filter — no per-row Python."""
+        left, right = left.lower(), right.lower()
         marks = (
             self.posting.where(F.col("term").isin([left, right]))
             .groupBy("doc_id")
@@ -329,7 +341,7 @@ class PostingsOps:
         )
         toks = self.corpus.select(
             F.col(self.id_col).alias("doc_id"),
-            tokenize_array(F.col(self.text_col)).alias("toks"),
+            tokenize_array(F.col(self.text_col), self.alphabet).alias("toks"),
         )
         start = F.greatest(F.col("pos") - window, F.lit(1))
         length = F.least(

@@ -94,7 +94,6 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     Quadratic only within shingle groups — use minhash_lsh_pairs at
     scale; this is the verifier/oracle-comparable form."""
     sh = shingles(df, n, text_col, id_col).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("a")
         .join(sh.alias("b"),
@@ -105,6 +104,15 @@ def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
         )
         .agg(F.count("*").alias("n_inter"))
     )
+    return _jaccard_filter(inter, sh, threshold)
+
+
+def _jaccard_filter(inter: DataFrame, sh: DataFrame,
+                    threshold: float) -> DataFrame:
+    """(doc_a, doc_b, n_inter) + shingle sets → thresholded
+    (doc_a, doc_b, jacc_milli) — the ONE place the Jaccard formula,
+    threshold and milli rounding live."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     j = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
                    .withColumnRenamed("n_sh", "sz_a"), "doc_a")
@@ -232,7 +240,6 @@ def verify_candidate_pairs(df: DataFrame, cand: DataFrame, n: int = 3,
     df_c = df.join(cand_docs.withColumnRenamed("doc_id", id_col),
                    id_col, "semi")
     sh_c = shingles(df_c, n, text_col, id_col).cache()
-    sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         cand
         .join(sh_c.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
@@ -241,23 +248,7 @@ def verify_candidate_pairs(df: DataFrame, cand: DataFrame, n: int = 3,
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
-    j = (
-        inter
-        .join(sizes.withColumnRenamed("doc_id", "doc_a")
-              .withColumnRenamed("n_sh", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("n_sh", "sz_b"), "doc_b")
-        .withColumn(
-            "jacc",
-            F.col("n_inter")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
-        )
-        .where(F.col("jacc") >= threshold)
-    )
-    return j.select(
-        "doc_a", "doc_b",
-        F.round(F.col("jacc") * 10000, 0).cast("long").alias("jacc_milli"),
-    )
+    return _jaccard_filter(inter, sh_c, threshold)
 
 
 def simhash(df: DataFrame, n_bits: int = 32, text_col: str = "text",

@@ -146,7 +146,11 @@ def build_lsh_index(emb: DataFrame, path: str, n_planes: int = 8,
     scan. Buckets are deterministic (md5 planes), so rebuilds are
     idempotent."""
     if dim is None:
-        dim = emb.select(F.size(vec_col).alias("d")).limit(1).collect()[0]["d"]
+        row = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
+        if not row:
+            raise ValueError("cannot infer dim from an empty embedding "
+                             "corpus — pass dim= explicitly")
+        dim = row[0]["d"]
     vec = F.col(vec_col).cast("array<double>")
     (
         emb.withColumn("bucket", lsh_bucket(vec, dim, n_planes))
@@ -181,6 +185,9 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.4,
     its groups are 1/2^n_planes of the corpus."""
     vec = F.col(vec_col).cast("array<double>")
     dim_row = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not dim_row:  # empty corpus → no pairs
+        return emb.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, sim_micro long")
     dim = dim_row[0]["d"]
     # cache: the bucket projection is an interpreted fold over
     # n_planes × dim — compute it once, not once per join side

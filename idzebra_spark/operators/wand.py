@@ -501,20 +501,28 @@ def _prox_match(decoded: dict, t1: str, t2: str, relation: str,
         )
         return np.add.reduceat(per_el, starts1)
 
+    HI = 1 << 41  # wider than any position, inside the pack space
     if ordered:
-        # diff = pos2 - pos1, sign kept (rsprox ordered path)
+        # diff = pos2 - pos1. The reference never counts wrong-order
+        # pairs: the fast path (rsprox.c:181-194, relations <,<=,=)
+        # requires diff > 0; the generic path (rsprox.c:249-277,
+        # relations >,>=,<>) requires diff >= 0.
         if relation == "=":
-            keep = pairs_in(distance, distance) > 0
+            keep = (pairs_in(distance, distance) > 0) if distance > 0 \
+                else np.zeros(cand.size, dtype=bool)
         elif relation == "<":
-            keep = (min2 - max1) < distance
+            keep = pairs_in(1, distance - 1) > 0
         elif relation == "<=":
-            keep = (min2 - max1) <= distance
+            keep = pairs_in(1, distance) > 0
         elif relation == ">":
-            keep = (max2 - min1) > distance
+            keep = (max2 - min1) > max(distance, 0)
         elif relation == ">=":
-            keep = (max2 - min1) >= distance
+            keep = (max2 - min1) >= max(distance, 0)
         elif relation == "<>":
-            keep = (cnt1 * cnt2 - pairs_in(distance, distance)) > 0
+            nonneg = pairs_in(0, HI)
+            eqd = pairs_in(distance, distance) if distance >= 0 \
+                else np.zeros(cand.size, dtype=np.int64)
+            keep = (nonneg - eqd) > 0
         else:
             raise ValueError(f"unknown prox relation {relation!r}")
         return cand[keep]

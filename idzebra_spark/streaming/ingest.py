@@ -44,11 +44,18 @@ DOCS_SCHEMA = T.StructType([
 def doc_store_snapshot(spark: SparkSession, index_path: str) -> DataFrame:
     """Latest version of every non-deleted doc in the mirror.
 
-    ``dropDuplicates`` on (doc_id, ingest_seq) makes the snapshot
-    insensitive to replayed mirror rows — belt-and-braces on top of
-    the idempotent per-ingest_seq overwrite in fold_batch."""
+    Duplicate (doc_id, ingest_seq) rows — a replayed mirror write, or
+    two versions of one doc landing in the SAME micro-batch — resolve
+    DETERMINISTICALLY: a delete tombstone (NULL text) wins, else the
+    lexicographically-greatest content sha. ``dropDuplicates`` would
+    keep an arbitrary row that can flip across replays."""
     store = spark.read.parquet(f"{index_path}/doc_store")
-    store = store.dropDuplicates(["doc_id", "ingest_seq"])
+    pick = F.struct(
+        F.col("text").isNull().cast("int").alias("tomb"),
+        F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("h"),
+    )
+    store = store.groupBy("doc_id", "ingest_seq").agg(
+        F.max_by("text", pick).alias("text"))
     latest = store.groupBy("doc_id").agg(F.max("ingest_seq").alias("ingest_seq"))
     return (
         store.join(latest, ["doc_id", "ingest_seq"])

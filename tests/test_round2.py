@@ -490,3 +490,52 @@ def test_empty_index_queries_return_empty(spark, tmp_path):
     idx = SegmentIndex(spark, path)
     assert idx.stats() == (0, 0.0)
     assert idx.topk(["a"], 5).count() == 0
+
+
+def test_ordered_prox_never_counts_wrong_order(idx, corpus):
+    """Reference fidelity (rsprox.c:181-194 fast path / :249-277
+    generic): ordered proximity never counts pairs where t2 precedes
+    t1 — on both engines."""
+    # doc3 = "merge window beta group merge": 'group'(4) then
+    # 'merge'(5): ordered prox(group -> merge, <=, 3) matches via
+    # diff=1>0; prox(beta -> alpha...) with only wrong-order pairs
+    # must NOT match: doc0 "alpha beta..." has beta@2 after alpha@1,
+    # so test sort->alpha (sort@6, alpha@1/5: diff=-5,-1 only)
+    seg = sorted(r["doc_id"] for r in idx.eval_tree(
+        ("prox", ["sort", "alpha"], "<=", 3, True)).collect())
+    log = sorted(r["doc_id"] for r in PostingsOps(corpus).prox(
+        "sort", "alpha", "<=", 3, True).collect())
+    assert seg == log == []  # alpha never follows sort
+    # and >= with in-order pairs still matches
+    seg2 = sorted(r["doc_id"] for r in idx.eval_tree(
+        ("prox", ["alpha", "sort"], ">=", 1, True)).collect())
+    log2 = sorted(r["doc_id"] for r in PostingsOps(corpus).prox(
+        "alpha", "sort", ">=", 1, True).collect())
+    assert seg2 == log2 == [0]
+
+
+def test_same_batch_duplicate_doc_resolves_deterministically(
+        spark, tmp_path_factory):
+    from idzebra_spark.streaming.ingest import doc_store_snapshot, fold_batch
+
+    root = tmp_path_factory.mktemp("dupbatch")
+    index_path = str(root / "idx")
+    batch = spark.createDataFrame(
+        [(1, "version aa"), (1, "version zz"), (2, "solo")],
+        ["doc_id", "text"],
+    )
+    fold_batch(batch, 0, index_path, shard_size=64, block_size=32)
+    snap = {r.doc_id: r.text
+            for r in doc_store_snapshot(spark, index_path).collect()}
+    # deterministic winner: greatest content sha (stable across runs)
+    import hashlib
+    want = max("version aa", "version zz",
+               key=lambda t: hashlib.sha256(t.encode()).hexdigest())
+    assert snap[1] == want and snap[2] == "solo"
+    # tombstone in the same batch beats content
+    batch2 = spark.createDataFrame(
+        [(2, "new content"), (2, None)], ["doc_id", "text"])
+    fold_batch(batch2, 1, index_path, shard_size=64, block_size=32)
+    snap2 = {r.doc_id for r in
+             doc_store_snapshot(spark, index_path).collect()}
+    assert 2 not in snap2
