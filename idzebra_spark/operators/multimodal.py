@@ -261,7 +261,9 @@ def frame_sample(media: DataFrame, every_ms: int = 250) -> DataFrame:
     """Video frame-sampling plan: one row per sampled timestamp (the
     decode itself is the stubbed kernel above). Demonstrates the
     explode-then-decode shape that keeps per-task memory bounded."""
-    video = media.where(F.col("media_type") == "video")
+    # duration 0 would make sequence(0, -1, step) throw — zero frames
+    video = media.where((F.col("media_type") == "video")
+                        & (F.col("meta.duration_ms") > 0))
     stamps = F.sequence(
         F.lit(0), F.col("meta.duration_ms") - 1, F.lit(every_ms)
     )
@@ -284,7 +286,10 @@ def audio_frame_sample(media: DataFrame, every_ms: int = 100) -> DataFrame:
         for pdf in batches:
             out_mid, out_ts, out_rms = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                s, rate = decode_wav(bytes(payload))
+                try:
+                    s, rate = decode_wav(bytes(payload))
+                except (ValueError, struct.error, IndexError):
+                    continue  # corrupt payload → no frames, not a crash
                 if s.size == 0:
                     continue
                 win = max(1, every_ms * rate // 1000)

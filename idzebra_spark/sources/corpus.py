@@ -75,12 +75,19 @@ def synth_source_files(
 ) -> DataFrame:
     """Deterministic synthetic source-code corpus (input_hint shape).
 
+    Token counts are uniform over [min_tokens, max_tokens) — the upper
+    bound is exclusive (kept as-is: the FIXTURES goldens are frozen on
+    this distribution).
+
     Content of row ``i``, token ``j`` is a pure function of
     ``xxhash64(i, j, seed)``: 30% Zipf-head keyword, 60% mid-frequency
     identifier, 10% unique ``sym_{i}_{j}``. Separators (space/newline/
     punctuation) are hash-chosen too, so the tokenizer sees realistic
     code-ish text. Entirely column expressions — scales to any n_rows.
     """
+    if max_tokens <= min_tokens:
+        raise ValueError("max_tokens must be > min_tokens "
+                         "(exclusive upper bound)")
     df = spark.range(n_rows).withColumnRenamed("id", "i")
     h0 = F.xxhash64(F.col("i"), F.lit(seed))
 

@@ -36,8 +36,12 @@ def windowed_event_counts(
     watermark: str = "2 hours",
 ):
     """readStream → watermark → tumbling-window count per event_type →
-    memory sink (complete mode). Late rows beyond the watermark drop —
-    the standard late-data policy."""
+    memory sink. UPDATE output mode: watermarks only drop late rows in
+    update/append mode (complete mode retains all state and ignores
+    them), so this is the mode where the documented late-data policy
+    actually holds. The memory sink accumulates one row per window
+    UPDATE; the return collapses to the latest version per window
+    (counts grow monotonically, so max_by(n) is the final value)."""
     stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
     agg = (
         stream.withWatermark("ts", watermark)
@@ -50,13 +54,18 @@ def windowed_event_counts(
     q = (
         agg.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(query_name)
+    return (
+        spark.table(query_name)
+        .groupBy("win_start", "event_type")
+        .agg(F.max("n").alias("n"),
+             F.max_by("sum_value", "n").alias("sum_value"))
+    )
 
 
 DEDUP_OUT_SCHEMA = "doc_id long, text string"
@@ -64,13 +73,24 @@ DEDUP_STATE_SCHEMA = "seen boolean"
 
 
 def _dedup_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    """First BATCH wins across batches (GroupState); within a batch
+    the surviving row is chosen DETERMINISTICALLY (greatest content
+    sha) — head(1) of an unordered Arrow chunk could flip between
+    runs/parallelism levels. Groups are duplicates of ONE doc_id, so
+    the per-row loop is tiny."""
+    import hashlib
+
     if state.exists:
         return iter(())
     state.update((True,))
+    best = None
     for pdf in pdfs:
-        yield pdf.head(1)[["doc_id", "text"]]
-        break
-    return
+        for _, row in pdf.iterrows():
+            h = hashlib.sha256((row["text"] or "").encode()).hexdigest()
+            if best is None or h > best[0]:
+                best = (h, row["doc_id"], row["text"])
+    if best is not None:
+        yield pd.DataFrame({"doc_id": [best[1]], "text": [best[2]]})
 
 
 def stream_dedup(
