@@ -33,9 +33,19 @@ def _widen(df: DataFrame) -> DataFrame:
     full parallelism: a small corpus often arrives as ONE parquet file
     → one partition → one core does all the work. Round-robin
     repartition is a cheap raw-doc shuffle; skipped when the input is
-    already wide (the 100 TB case)."""
+    already wide (the 100 TB case).
+
+    Width is probed via ``inputFiles()`` (source metadata — no
+    DataFrame→RDD conversion, which would add a deserialization
+    boundary to the plan just to read a partition count). Non-file
+    sources report zero files and are widened; repartitioning an
+    in-memory test frame is noise-cheap."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files < max(2, target // 2):
         return df.repartition(target)
     return df
 

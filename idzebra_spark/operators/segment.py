@@ -257,12 +257,15 @@ def fielded_postings(src: DataFrame,
             )
         )
     for col in fields.get("p", []):
+        # an empty/absent field value must NOT become the phantom term
+        # 'field\x1f' (the bare composite prefix passes the downstream
+        # null/empty guard because the prefix itself is non-empty)
+        joined = F.array_join(tokenize_array(F.col(col), alphabet), " ")
         parts.append(
             src.select(
                 F.col(id_col).alias("doc_id"),
-                F.concat(
-                    F.lit(col + FIELD_SEP),
-                    F.array_join(tokenize_array(F.col(col), alphabet), " "),
+                F.when(
+                    joined != "", F.concat(F.lit(col + FIELD_SEP), joined)
                 ).alias("term"),
                 F.lit(1).cast("int").alias("pos"),
             )

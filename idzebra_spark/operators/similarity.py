@@ -69,13 +69,22 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
 
     The weights are row-INDEPENDENT, so they're baked in as literal
     arrays (n_planes × dim floats in the plan) — the executor does one
-    multiply-add fold per plane, not n_planes × dim md5 calls per row."""
+    multiply-add fold per plane, not n_planes × dim md5 calls per row.
+
+    The projection is INTEGER-quantized before summation:
+    sum over d of floor((x_d * w_p,d) * 10^6) as BIGINT. Integer
+    addition is associative, so Spark's ordered left fold, DuckDB's
+    unordered SUM aggregate, and the driver-side Python loop produce
+    the SAME bucket structurally — a raw double sum near zero could
+    flip its sign bit with summation order (float addition is not
+    associative), silently changing candidates between engines."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
         wlit = F.array(*[F.lit(plane_weight(p, d)) for d in range(dim)])
         proj = F.aggregate(
-            F.zip_with(vec, wlit, lambda x, w: x * w),
-            F.lit(0.0),
+            F.zip_with(vec, wlit,
+                       lambda x, w: F.floor(x * w * F.lit(1000000.0))),
+            F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
         bucket = bucket + F.shiftleft(
@@ -88,12 +97,16 @@ def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
 def query_bucket(query_vec: list[float], n_planes: int = 8,
                  dim: int | None = None) -> int:
     """Driver-side bucket of a query vector (same md5-derived planes
-    as :func:`lsh_bucket`) — O(n_planes × dim) scalar math."""
+    and the same integer-quantized projection as :func:`lsh_bucket`)
+    — O(n_planes × dim) scalar math."""
+    import math
+
     dim = dim or len(query_vec)
     return sum(
         (1 << p)
         for p in range(n_planes)
-        if sum(query_vec[d] * plane_weight(p, d) for d in range(dim)) > 0
+        if sum(math.floor(query_vec[d] * plane_weight(p, d) * 1000000.0)
+               for d in range(dim)) > 0
     )
 
 

@@ -468,7 +468,15 @@ def _prox_match(decoded: dict, t1: str, t2: str, relation: str,
     relations the check is a sorted-window search over packed
     (doc_rank << 42 | pos) keys — one searchsorted pair for ALL
     candidate docs at once; open-ended relations (>, >=, <>) reduce
-    to per-doc min/max comparisons, equally loop-free."""
+    to per-doc min/max comparisons, equally loop-free.
+
+    Deliberate deviation from the reference: the unordered path
+    excludes same-position pairs (p1 == p2), while rsprox's generic
+    path (rsprox.c:249-277) takes abs(diff) and counts diff == 0.
+    Observable only for t1 == t2 (a term NEAR itself) or multi-
+    register tokens sharing a seqno; two distinct occurrences are
+    what 'near' means here, and the DuckDB oracles (oracle.prox_sql)
+    encode the same p1 != p2 rule, so both engines agree."""
     d1, off1, p1 = decoded[t1]
     d2, off2, p2 = decoded[t2]
     cand = np.intersect1d(d1, d2, assume_unique=True)

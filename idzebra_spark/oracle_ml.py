@@ -226,8 +226,11 @@ def lsh_topk_sql(query_vec_id: int = 0, k: int = 10, n_planes: int = 6,
                  multiprobe_bits: int = 1, dim: int = 64) -> str:
     """Mirror of operators.similarity.lsh_topk / lsh_topk_indexed:
     md5-derived hyperplanes, sign-bit bucket, Hamming-≤bits probe,
-    exact cosine re-rank — the same candidates bit-for-bit (the plane
-    weights are integer-exact cross-engine)."""
+    exact cosine re-rank — the same candidates bit-for-bit. Structural
+    guarantee: the projection is the SUM of per-dimension BIGINT
+    floor((x*w)*1e6) terms (integer addition is associative, so this
+    unordered SUM equals Spark's ordered fold exactly — a raw double
+    sum near zero could flip the sign bit with summation order)."""
     return f"""
 WITH planes AS (SELECT unnest(range(0, {n_planes})) AS p),
 dims AS (SELECT unnest(range(0, {dim})) AS d),
@@ -239,7 +242,9 @@ w AS (
   FROM planes, dims
 ),
 proj AS (
-  SELECT e.vec_id, w.p, sum(e.embedding[w.d + 1]::DOUBLE * w.wt) AS proj
+  SELECT e.vec_id, w.p,
+         sum(CAST(floor(e.embedding[w.d + 1]::DOUBLE * w.wt * 1000000)
+                  AS BIGINT)) AS proj
   FROM embeddings e, w
   GROUP BY e.vec_id, w.p
 ),
@@ -263,7 +268,9 @@ def embedding_dup_pairs_sql(threshold: float = 0.4, n_planes: int = 6,
                             dim: int = 64, limit: int = 500) -> str:
     """Mirror of operators.similarity.embedding_dup_pairs: same-bucket
     LSH candidates, exact cosine >= threshold on the MICRO-rounded
-    value (cross-engine stable)."""
+    value (cross-engine stable). The bucket projection uses the same
+    integer-quantized sum as :func:`lsh_topk_sql` (associative — safe
+    under DuckDB's unordered aggregation)."""
     return f"""
 WITH planes AS (SELECT unnest(range(0, {n_planes})) AS p),
 dims AS (SELECT unnest(range(0, {dim})) AS d),
@@ -275,7 +282,9 @@ w AS (
   FROM planes, dims
 ),
 proj AS (
-  SELECT e.vec_id, w.p, sum(e.embedding[w.d + 1]::DOUBLE * w.wt) AS proj
+  SELECT e.vec_id, w.p,
+         sum(CAST(floor(e.embedding[w.d + 1]::DOUBLE * w.wt * 1000000)
+                  AS BIGINT)) AS proj
   FROM embeddings e, w
   GROUP BY e.vec_id, w.p
 ),

@@ -122,6 +122,8 @@ class _Parser:
         return self.toks[self.i] if self.i < len(self.toks) else None
 
     def next(self) -> str:
+        if self.i >= len(self.toks):
+            raise ValueError("unbalanced parens / unexpected end of query")
         t = self.toks[self.i]
         self.i += 1
         return t
@@ -150,8 +152,10 @@ class _Parser:
                   or re.fullmatch(r"NEAR/\d+", t)):
             op = self.next()
             right = self.parse_unary()
-            assert left.op == "term" and right.op == "term", \
-                "NEAR/ADJ operands must be plain terms"
+            if left.op != "term" or right.op != "term":
+                # a real parse error, not an internal invariant: assert
+                # would vanish under `python -O` and read as a crash
+                raise ValueError("NEAR/ADJ operands must be plain terms")
             if op == "ADJ":
                 # ordered, distance exactly 1 (phrase-adjacent)
                 return Node("prox", ("=", 1, True),
@@ -165,7 +169,8 @@ class _Parser:
         t = self.next()
         if t == "(":
             e = self.parse_expr()
-            assert self.next() == ")", "unbalanced parens"
+            if self.next() != ")":
+                raise ValueError("unbalanced parens")
             return e
         if t.startswith('"'):
             return Node("phrase", t.strip('"').lower())
@@ -192,5 +197,6 @@ def parse(query: str) -> Query:
     toks = _TOKEN_RE.findall(query)
     p = _Parser(toks)
     root = p.parse_expr()
-    assert p.peek() is None, f"trailing tokens at {p.i}"
+    if p.peek() is not None:
+        raise ValueError(f"trailing tokens at {p.i}: {p.peek()!r}")
     return Query(root)

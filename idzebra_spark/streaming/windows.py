@@ -41,7 +41,15 @@ def windowed_event_counts(
     them), so this is the mode where the documented late-data policy
     actually holds. The memory sink accumulates one row per window
     UPDATE; the return collapses to the latest version per window
-    (counts grow monotonically, so max_by(n) is the final value)."""
+    (counts grow monotonically, so max_by(n) is the final value).
+
+    Coverage caveat: the memory sink is per-RUN. On a RESUMED call
+    against an existing checkpoint, windows with no new rows emit no
+    update and are absent from the returned rollup — the return covers
+    only windows touched in the current run. A caller that needs the
+    full window set across runs should merge the rollup into a
+    persistent sink (parquet keyed by (win_start, event_type)) or use
+    a fresh checkpoint per invocation (what the tests do)."""
     stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
     agg = (
         stream.withWatermark("ts", watermark)

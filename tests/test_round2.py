@@ -372,9 +372,9 @@ def test_near_prefix_terms_are_not_operators():
     is a syntax error, NOT a silent prox query."""
     from idzebra_spark.plans.query import parse
 
-    with pytest.raises(AssertionError, match="trailing tokens"):
+    with pytest.raises(ValueError, match="trailing tokens"):
         parse("foo NEARBY bar")
-    with pytest.raises(AssertionError, match="trailing tokens"):
+    with pytest.raises(ValueError, match="trailing tokens"):
         parse("a NEAR/2x b")
     assert parse("foo NEAR bar").root.value == ("<=", 3, False)
 

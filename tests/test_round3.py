@@ -1,0 +1,62 @@
+"""Round-3 additions: batched multi-query kernel, bounded streaming
+fold, SimHash Hamming banding, charmap folding, fuzzy regex, segment
+scan-with-limit, multi-valued sort keys — plus regressions for the
+round-2 ADVICE items."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------- ADVICE regressions
+
+def test_empty_complete_field_is_not_indexed(spark):
+    """An empty/absent 'p'-type field value must not become the
+    phantom composite term 'field\\x1f' (ADVICE r2: segment.py:269)."""
+    from idzebra_spark.operators.boolean import FIELD_SEP
+    from idzebra_spark.operators.segment import fielded_postings
+
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta", "en"), (1, "gamma", ""), (2, "delta", None),
+         (3, "eps", "---")],  # '---' tokenizes to nothing
+        ["doc_id", "text", "lang"],
+    )
+    p = fielded_postings(corpus, {"p": ["lang"]})
+    p = p.where(F.col("term").isNotNull() & (F.col("term") != ""))
+    terms = {r["term"] for r in p.select("term").distinct().collect()}
+    assert ("lang" + FIELD_SEP + "en") in terms
+    assert ("lang" + FIELD_SEP) not in terms
+
+
+def test_parse_errors_are_value_errors():
+    from idzebra_spark.plans.query import parse
+
+    with pytest.raises(ValueError, match="plain terms"):
+        parse('"a b" NEAR c')
+    with pytest.raises(ValueError, match="unbalanced"):
+        parse("(a OR b")
+
+
+def test_lsh_projection_is_integer_stable():
+    """The bucket projection must be an associative integer sum —
+    identical regardless of summation order (ADVICE r2:
+    oracle_ml.py:229). Simulate engine divergence by summing the
+    quantized terms forward and backward."""
+    import math
+
+    from idzebra_spark.operators.similarity import plane_weight, query_bucket
+
+    vec = [((i * 37) % 19 - 9) / 7.0 for i in range(64)]
+    terms = [
+        [math.floor(vec[d] * plane_weight(p, d) * 1000000.0)
+         for d in range(64)]
+        for p in range(6)
+    ]
+    fwd = sum(
+        (1 << p) for p in range(6) if sum(terms[p]) > 0
+    )
+    rev = sum(
+        (1 << p) for p in range(6) if sum(reversed(terms[p])) > 0
+    )
+    assert fwd == rev == query_bucket(vec, n_planes=6)
