@@ -84,6 +84,48 @@ def main() -> None:
     p50 = lat[len(lat) // 2]
     p95 = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
 
+    # batched multi-query throughput: the same 16 mixed queries run
+    # one-job-each (serial) vs ONE cogrouped topk_many job — the
+    # serving-throughput headline (reference: ~20 q/s sustained,
+    # doc/introduction.xml:588-595; single-job latency here is floored
+    # by Spark scheduling, the batch amortizes it)
+    batch_queries = {}
+    base_terms = ["merge", "sort", "scan", "spark", "query", "data",
+                  "key", "value", "table", "index", "group", "window",
+                  "batch", "join", "filter", "count"]
+    for i in range(16):
+        t1, t2 = base_terms[i], base_terms[(i + 3) % 16]
+        batch_queries[f"q{i:02d}"] = {
+            "terms": [t1, t2], "mode": "and" if i % 4 == 0 else "or",
+        }
+    t = time.perf_counter()
+    for q in batch_queries.values():
+        idx.topk(q["terms"], 10, q["mode"]).collect()
+    serial_sec = time.perf_counter() - t
+    t = time.perf_counter()
+    idx.topk_many(batch_queries, 10).collect()
+    batched_sec = time.perf_counter() - t
+    timings["q_batch16_serial"] = round(serial_sec, 4)
+    timings["q_batch16_batched"] = round(batched_sec, 4)
+    batch_qps = round(16.0 / batched_sec, 2)
+
+    # sustained shape: 64 distinct queries in one job (the job floor
+    # amortizes further; kernel work grows linearly)
+    big = {}
+    for i in range(64):
+        t1 = base_terms[i % 16]
+        t2 = base_terms[(i * 5 + 7) % 16]
+        t3 = base_terms[(i * 11 + 3) % 16]
+        terms = [t1, t2] if i % 2 else [t1, t2, t3]
+        big[f"b{i:02d}"] = {
+            "terms": terms, "mode": "and" if i % 8 == 0 else "or",
+        }
+    t = time.perf_counter()
+    idx.topk_many(big, 10).collect()
+    batch64_sec = time.perf_counter() - t
+    timings["q_batch64_batched"] = round(batch64_sec, 4)
+    batch64_qps = round(64.0 / batch64_sec, 2)
+
     run("q_phrase_segment", lambda: idx.phrase(["batch", "batch"], 10).collect())
     run("q_phrase_highdf", lambda: idx.phrase(["value", "table"], 10).collect())
 
@@ -155,6 +197,15 @@ def main() -> None:
         "sf": sf,
         "bm25_latency": {"p50": round(p50, 4), "p95": round(p95, 4),
                          "samples": len(lat)},
+        "batch_throughput": {
+            "queries": 16,
+            "serial_sec": round(serial_sec, 4),
+            "batched_sec": round(batched_sec, 4),
+            "batched_qps": batch_qps,
+            "speedup": round(serial_sec / batched_sec, 2),
+            "batch64_sec": round(batch64_sec, 4),
+            "batch64_qps": batch64_qps,
+        },
         "build": {
             "docs": int(m["docs"] or 0),
             "postings": int(m["postings"] or 0),

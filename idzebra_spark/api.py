@@ -169,6 +169,42 @@ class ZebraSpark:
             return self.index.topk(terms, k, mode, not_terms=neg or None)
         return self.index.search_tree(q.root.to_rset_tree(), k)
 
+    def search_many(self, queries: dict[str, str], k: int = 10) -> DataFrame:
+        """Batched ranked search: {query_id: query string} → one
+        DataFrame (query_id, doc_id, score_milli) with per-query
+        top-k, computed in ONE Spark job for all flat boolean queries
+        (SegmentIndex.topk_many). Structured queries (phrases, parens
+        mixing ops) fall back to their per-query plan and are unioned
+        in — each query's rows are identical to ``search(q, k)``."""
+        flat_specs: dict[str, dict] = {}
+        structured: list[tuple[str, object]] = []
+        for qid, qs in queries.items():
+            root = parse(qs).root
+            flat = _flat_rankable(root)
+            if flat is not None:
+                mode, terms, neg = flat
+                flat_specs[qid] = {"terms": terms, "mode": mode,
+                                   "not_terms": neg}
+            else:
+                structured.append((qid, root))
+        parts = []
+        if flat_specs:
+            parts.append(self.index.topk_many(flat_specs, k))
+        for qid, root in structured:
+            parts.append(
+                self.index.search_tree(root.to_rset_tree(), k)
+                .select(F.lit(qid).alias("query_id"), "doc_id",
+                        "score_milli")
+            )
+        if not parts:
+            from idzebra_spark.operators.wand import BATCH_RESULT_SCHEMA
+
+            return self.spark.createDataFrame([], BATCH_RESULT_SCHEMA)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def count(self, query: str) -> int:
         q = parse(query)
         flat = _flat_rankable(q.root)

@@ -145,10 +145,44 @@ def q_wand_phrase(spark, sf_dir):
     return _index(spark, sf_dir).phrase(["batch", "batch"], 10)
 
 
+def q_wand_bm25_batch(spark, sf_dir):
+    """Batched multi-query kernel: four heterogeneous BM25 queries
+    (OR / AND / high-df OR / AND-NOT) scored in ONE cogrouped pass —
+    each query's rows are rank-identical to its single-query twin
+    (the per-query oracles below are literally the single-query SQL
+    with a query_id tag)."""
+    return _index(spark, sf_dir).topk_many({
+        "q_and": {"terms": ["spark", "query"], "mode": "and"},
+        "q_hi": {"terms": ["the", "data", "key"], "mode": "or"},
+        "q_not": {"terms": ["merge", "sort"], "mode": "or",
+                  "not_terms": ["slow"]},
+        "q_or": {"terms": ["merge", "sort"], "mode": "or"},
+    }, k=10).orderBy("query_id", F.desc("score_milli"), F.asc("doc_id"))
+
+
+def _tagged(qid: str, sql: str) -> str:
+    return (f"SELECT '{qid}' AS query_id, doc_id, score_milli "
+            f"FROM ({sql}) _{qid}")
+
+
+_WAND_BATCH_SQL = "\nUNION ALL\n".join([
+    _tagged("q_and", oracle.bm25_topk_sql(["spark", "query"], 10, "and")),
+    _tagged("q_hi", oracle.bm25_topk_sql(["the", "data", "key"], 10, "or")),
+]) + "\nUNION ALL\n"  # q_not appended below (needs _WAND_NOT_SQL)
+
+
 _WAND_NOT_SQL = oracle.bm25_topk_sql(["merge", "sort"], 10, "or").replace(
     "FROM scored",
     """FROM scored
 WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM posting WHERE term = 'slow')""",
+)
+
+_WAND_BATCH_SQL = (
+    _WAND_BATCH_SQL
+    + _tagged("q_not", _WAND_NOT_SQL)
+    + "\nUNION ALL\n"
+    + _tagged("q_or", oracle.bm25_topk_sql(["merge", "sort"], 10, "or"))
+    + "\nORDER BY query_id ASC, score_milli DESC, doc_id ASC"
 )
 
 
@@ -1003,6 +1037,7 @@ ORDER BY doc_id ASC LIMIT 100
 from idzebra_spark import oracle_ml  # noqa: E402
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "wand_bm25_batch": (q_wand_bm25_batch, _WAND_BATCH_SQL),
     "text_token_stats": (q_text_token_stats, oracle_ml.token_stats_sql(200)),
     "text_quality": (q_text_quality, oracle_ml.quality_sql(200)),
     "text_langid": (q_text_langid, oracle_ml.lang_id_sql(200)),

@@ -267,6 +267,130 @@ def _shard_kernel(term_idf, term_order, avgdl, mode, theta, k, k1=K1, b=B,
     return fn
 
 
+BATCH_TOPK_SCHEMA = T.StructType([
+    T.StructField("query_id", T.StringType()),
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("raw", T.DoubleType()),
+])
+
+BATCH_RESULT_SCHEMA = T.StructType([
+    T.StructField("query_id", T.StringType()),
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("score_milli", T.LongType()),
+])
+
+
+def _multi_query_kernel(specs, avgdl, k, k1=K1, b=B):
+    """Per-shard scorer for a BATCH of queries — the serving-throughput
+    path. One cogrouped pass decodes every referenced term ONCE and
+    scores all queries against the shared decode cache; per query the
+    set assembly and float-summation order are IDENTICAL to
+    :func:`_shard_kernel` (AND sums ascending-df, OR descending-idf),
+    so each query's rows match its single-query run bit-for-bit.
+
+    Zebra amortizes per-query cost with its ISAMB page cache across a
+    session (/root/reference/isamb/isamb.c:380-450); on Spark the
+    per-JOB scheduler floor (~0.5 s) dominates single-query latency,
+    so the batch analogue ships N queries into one job instead.
+
+    ``specs``: [{qid, mode, idf: {term: idf}, order: [terms asc df],
+    neg: (terms,)}]."""
+    empty = pd.DataFrame({
+        "query_id": pd.Series([], dtype="object"),
+        "doc_id": pd.Series([], dtype="int64"),
+        "raw": pd.Series([], dtype="float64"),
+    })
+
+    def fn(blocks: pd.DataFrame, norms: pd.DataFrame) -> pd.DataFrame:
+        if len(blocks) == 0 or len(norms) == 0:
+            return empty
+        nd_docids, nd_dls = _decode_norms(norms)
+        by_term = {t: g for t, g in blocks.groupby("term", sort=False)}
+        dec: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+        def decode(t):
+            if t not in dec:
+                g = by_term[t]
+                d, tfv = _decode_docids_tfs(
+                    [bytes(x) for x in g["docids_bin"]],
+                    [bytes(x) for x in g["tfs_bin"]],
+                    g["n_docs"].to_numpy(np.int64),
+                )
+                o = np.argsort(d, kind="mergesort")
+                dec[t] = (d[o], tfv[o])
+            return dec[t]
+
+        out_q, out_d, out_r = [], [], []
+        for s in specs:
+            order, idf, neg, mode = s["order"], s["idf"], s["neg"], s["mode"]
+            present = [t for t in order if t in by_term]
+            if not present or (mode == "and" and len(present) < len(order)):
+                continue
+            excluded = None
+            for t in neg:
+                if t in by_term:
+                    e = decode(t)[0]
+                    excluded = e if excluded is None else np.union1d(excluded, e)
+            if mode == "and":
+                docs = None
+                for t in present:
+                    d = decode(t)[0]
+                    docs = d if docs is None else np.intersect1d(
+                        docs, d, assume_unique=True)
+                    if docs.size == 0:
+                        break
+                if docs is None or docs.size == 0:
+                    continue
+                if excluded is not None:
+                    docs = docs[~np.isin(docs, excluded)]
+                if docs.size == 0:
+                    continue
+                dl = nd_dls[np.searchsorted(nd_docids, docs)]
+                raw = np.zeros(docs.size, dtype=np.float64)
+                for t in present:  # ascending-df order, as _shard_kernel
+                    d, tfv = decode(t)
+                    raw += idf[t] * _bm25_tf(
+                        tfv[np.searchsorted(d, docs)], dl, avgdl, k1, b)
+            else:
+                loop = sorted(present, key=lambda t: -idf[t])
+                arrs = []
+                for t in loop:
+                    d, tfv = decode(t)
+                    if excluded is not None and d.size:
+                        m = ~np.isin(d, excluded)
+                        d, tfv = d[m], tfv[m]
+                    arrs.append((t, d, tfv))
+                all_docs = np.concatenate([d for _, d, _ in arrs])
+                if all_docs.size == 0:
+                    continue
+                docs, inv = np.unique(all_docs, return_inverse=True)
+                dl = nd_dls[np.searchsorted(nd_docids, docs)]
+                raw = np.zeros(docs.size, dtype=np.float64)
+                off = 0
+                for t, d, tfv in arrs:  # descending-idf, as _shard_kernel
+                    if d.size == 0:
+                        continue
+                    ix = inv[off:off + d.size]
+                    raw[ix] += idf[t] * _bm25_tf(tfv, dl[ix], avgdl, k1, b)
+                    off += d.size
+            if k is not None and docs.size > k:
+                milli = np.floor(raw * 10000.0 + 0.5).astype(np.int64)
+                sel = np.lexsort((docs, -milli))[:k]
+                docs, raw = docs[sel], raw[sel]
+            out_q.append(np.full(docs.size, s["qid"], dtype=object))
+            out_d.append(docs)
+            out_r.append(raw)
+        if not out_d:
+            return empty
+        return pd.DataFrame({
+            "query_id": np.concatenate(out_q),
+            "doc_id": np.concatenate(out_d).astype(np.int64),
+            "raw": np.concatenate(out_r),
+        })
+
+    return fn
+
+
 PHRASE_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("n_occ", T.LongType()),
@@ -883,6 +1007,74 @@ class SegmentIndex:
             )
             .orderBy(F.desc("score_milli"), F.asc("doc_id"))
             .limit(k)
+        )
+
+    def topk_many(self, queries: dict[str, dict], k: int = 10) -> DataFrame:
+        """Batched BM25 top-k: score EVERY query in one cogrouped pass
+        over the blocks → (query_id, doc_id, score_milli), per-query
+        top-k under the milli tie discipline.
+
+        ``queries``: {query_id: {"terms": [...], "mode": "or"|"and",
+        "not_terms": [...]}}. Each query's rows are rank-identical to
+        ``topk(terms, k, mode, not_terms)`` — the kernel decodes each
+        referenced term once and reuses it across queries, and the
+        per-query math matches the single-query kernel exactly.
+
+        Why: single-query latency is floored by Spark job scheduling
+        (~0.5 s/job), not kernel time; the reference amortizes its
+        per-query setup across a session via the ISAMB page cache
+        (/root/reference/isamb/isamb.c:380-450). Shipping N queries'
+        term→idf maps into ONE job amortizes the floor N× — the
+        serving-throughput shape for a query frontend that drains a
+        request queue in micro-batches."""
+        n_docs, avgdl = self.stats()
+        if n_docs == 0 or not queries:
+            return self.spark.createDataFrame([], BATCH_RESULT_SCHEMA)
+        all_pos = sorted({
+            t.lower() for q in queries.values() for t in q["terms"]})
+        info = self.lookup_terms(all_pos)  # ONE dictionary job, memoized
+        specs = []
+        scan_terms: set[str] = set()
+        for qid, q in queries.items():
+            terms = sorted({t.lower() for t in q["terms"]})
+            neg = tuple(sorted({t.lower()
+                                for t in (q.get("not_terms") or [])}))
+            mode = q.get("mode", "or")
+            ti = {t: info[t] for t in terms if t in info}
+            if not ti or (mode == "and" and len(ti) < len(terms)):
+                continue  # no hits possible — emit nothing for qid
+            idf = {
+                t: math.log(1.0 + (n_docs - d["df"] + 0.5) / (d["df"] + 0.5))
+                for t, d in ti.items()
+            }
+            order = sorted(ti, key=lambda t: ti[t]["df"])
+            specs.append({"qid": str(qid), "mode": mode, "idf": idf,
+                          "order": order, "neg": neg})
+            scan_terms.update(idf)
+            scan_terms.update(neg)
+        if not specs:
+            return self.spark.createDataFrame([], BATCH_RESULT_SCHEMA)
+        blk = self.blocks.where(F.col("term").isin(sorted(scan_terms)))
+        nrm = self.norms.join(blk.select("shard").distinct(), "shard", "semi")
+        kernel = _multi_query_kernel(specs, avgdl, k)
+        out = (
+            blk.groupBy("shard")
+            .cogroup(nrm.groupBy("shard"))
+            .applyInPandas(kernel, BATCH_TOPK_SCHEMA)
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score_milli"), F.asc("doc_id"))
+        return (
+            out.select(
+                "query_id", "doc_id",
+                F.round(F.col("raw") * 10000, 0).cast("long")
+                .alias("score_milli"),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
         )
 
     # ------------------------------------------------ rset-DAG queries

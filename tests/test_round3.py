@@ -38,6 +38,70 @@ def test_parse_errors_are_value_errors():
         parse("(a OR b")
 
 
+# ------------------------------------------------ batched query kernel
+
+@pytest.fixture(scope="module")
+def seg_idx(spark, sf_dir, tmp_path_factory):
+    from idzebra_spark.operators.segment import build_index
+    from idzebra_spark.operators.wand import SegmentIndex
+    from idzebra_spark.sources.corpus import load_documents
+
+    path = str(tmp_path_factory.mktemp("r3idx") / "idx")
+    docs = load_documents(spark, sf_dir)
+    build_index(spark, docs, path, shard_size=256, block_size=64)
+    return SegmentIndex(spark, path)
+
+
+BATCH_QUERIES = {
+    "or2": {"terms": ["merge", "sort"], "mode": "or"},
+    "and2": {"terms": ["spark", "query"], "mode": "and"},
+    "hi3": {"terms": ["the", "data", "key"], "mode": "or"},
+    "not1": {"terms": ["merge", "sort"], "mode": "or",
+             "not_terms": ["slow"]},
+    "miss": {"terms": ["nosuchtokenanywhere"], "mode": "or"},
+    "andmiss": {"terms": ["merge", "nosuchtokenanywhere"], "mode": "and"},
+}
+
+
+def test_topk_many_matches_single_query(seg_idx):
+    """Every query in a batch must be rank-identical to its
+    single-query topk() run (same milli scores, same tie order)."""
+    batch = seg_idx.topk_many(BATCH_QUERIES, k=10).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["score_milli"]))
+    assert "miss" not in got and "andmiss" not in got
+    for qid, q in BATCH_QUERIES.items():
+        single = [
+            (r["doc_id"], r["score_milli"])
+            for r in seg_idx.topk(q["terms"], 10, q.get("mode", "or"),
+                                  not_terms=q.get("not_terms")).collect()
+        ]
+        assert got.get(qid, []) == single, qid
+
+
+def test_search_many_facade(spark, sf_dir, tmp_path_factory, seg_idx):
+    """search_many mixes flat (batched) and structured (fallback)
+    queries; each query's rows equal search()'s."""
+    from idzebra_spark.api import ZebraSpark
+
+    zs = ZebraSpark(spark, seg_idx.path)
+    queries = {
+        "flat": "merge OR sort",
+        "struct": '(merge OR sort) AND scan NOT "batch batch"',
+    }
+    many = zs.search_many(queries, k=5).collect()
+    got = {}
+    for r in many:
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["score_milli"]))
+    for qid, qs in queries.items():
+        single = [(r["doc_id"], r["score_milli"])
+                  for r in zs.search(qs, k=5).collect()]
+        assert sorted(got[qid]) == sorted(single), qid
+
+
 def test_lsh_projection_is_integer_stable():
     """The bucket projection must be an associative integer sum —
     identical regardless of summation order (ADVICE r2:
