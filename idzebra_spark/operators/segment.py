@@ -602,6 +602,7 @@ def update_index(
     store_positions: bool = True,
     fields: dict[str, list[str]] | None = None,
     alphabet: str = "ascii",
+    candidate_shards: DataFrame | None = None,
 ) -> dict:
     """Incrementally sync the index to a new corpus snapshot.
 
@@ -617,6 +618,16 @@ def update_index(
     changed-shard set stays a DataFrame end-to-end — nothing
     shard-count-sized is ever collected to the driver (the 10^6-shard
     case shuffles a few MB instead).
+
+    ``candidate_shards``: optional (shard) DataFrame bounding the diff
+    — when the caller KNOWS only these shards can differ (a streaming
+    micro-batch fold knows its batch's doc_ids), both the new-snapshot
+    side and the indexed doc_meta side are semi-joined to it before
+    diffing, so per-sync read cost is O(candidate shards), not
+    O(corpus). Docs outside the candidate set are excluded from BOTH
+    sides, so they can never be misread as deletions. When given,
+    ``new_corpus`` must contain every live doc of each candidate shard
+    (the streaming mirror snapshot restricted by shard does).
     """
     fcols = _field_cols(fields)
     src = new_corpus.select(
@@ -637,14 +648,22 @@ def update_index(
         m["changed_shards"] = m["shards"]
         return m
 
+    cand: DataFrame | None = None
+    if candidate_shards is not None:
+        cand = candidate_shards.select(
+            F.col("shard").cast("long")).distinct()
+        src = src.join(F.broadcast(cand), "shard", "semi")
+
     w_latest = lineage.groupBy("shard").agg(F.max("build_seq").alias("build_seq"))
     latest = lineage.join(w_latest, ["shard", "build_seq"]).select("shard", "batch")
-    old = (
-        spark.read.parquet(f"{path}/doc_meta")
-        .join(latest, ["shard", "batch"], "semi")
-        .select("doc_id", F.col("sha256").alias("old_sha"),
-                F.col("shard").alias("old_shard"))
-    )
+    old = spark.read.parquet(f"{path}/doc_meta").join(
+        latest, ["shard", "batch"], "semi")
+    if cand is not None:
+        # bound the indexed-side read too: only candidate shards are
+        # diffed (the semi-join precedes the doc_id-level comparison)
+        old = old.join(F.broadcast(cand), "shard", "semi")
+    old = old.select("doc_id", F.col("sha256").alias("old_sha"),
+                     F.col("shard").alias("old_shard"))
     diff = src.join(old, "doc_id", "full_outer")
     changed = (
         diff.where(

@@ -197,8 +197,9 @@ def _shard_kernel(term_idf, term_order, avgdl, mode, theta, k, k1=K1, b=B,
                 [bytes(x) for x in gk["tfs_bin"]],
                 gk["n_docs"].to_numpy(np.int64),
             )
-            o = np.argsort(d, kind="mergesort")
-            d, tfv = d[o], tfv[o]
+            if d.size > 1 and not np.all(d[:-1] <= d[1:]):
+                o = np.argsort(d, kind="mergesort")
+                d, tfv = d[o], tfv[o]
             if excluded is not None and d.size:
                 m = ~np.isin(d, excluded, assume_unique=False)
                 d, tfv = d[m], tfv[m]
@@ -316,8 +317,10 @@ def _multi_query_kernel(specs, avgdl, k, k1=K1, b=B):
                     [bytes(x) for x in g["tfs_bin"]],
                     g["n_docs"].to_numpy(np.int64),
                 )
-                o = np.argsort(d, kind="mergesort")
-                dec[t] = (d[o], tfv[o])
+                if d.size > 1 and not np.all(d[:-1] <= d[1:]):
+                    o = np.argsort(d, kind="mergesort")
+                    d, tfv = d[o], tfv[o]
+                dec[t] = (d, tfv)
             return dec[t]
 
         out_q, out_d, out_r = [], [], []
@@ -413,13 +416,17 @@ def _decode_block_rows(g: pd.DataFrame, want_positions: bool):
         ).astype(np.int64)
         p = _undo_pos_deltas(pdeltas, tfv)
     # blocks arrive per (block_seq) and docids are globally sorted per
-    # (term, shard) by construction; enforce order defensively
-    o = np.argsort(d, kind="mergesort")
-    if want_positions and d.size:
-        tok_off = np.zeros(d.size + 1, dtype=np.int64)
-        np.cumsum(tfv, out=tok_off[1:])
-        p = np.concatenate([p[tok_off[i]:tok_off[i + 1]] for i in o])
-    return d[o], tfv[o], p
+    # (term, shard) by construction — the already-sorted fast path is
+    # the norm; the defensive reorder is fully vectorized
+    # (_gather_ranges) when rows ever arrive shuffled
+    if d.size > 1 and not np.all(d[:-1] <= d[1:]):
+        o = np.argsort(d, kind="mergesort")
+        if p is not None:
+            tok_off = np.zeros(d.size + 1, dtype=np.int64)
+            np.cumsum(tfv, out=tok_off[1:])
+            p = p[_gather_ranges(tok_off[o], tfv[o])]
+        d, tfv = d[o], tfv[o]
+    return d, tfv, p
 
 
 def _gather_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from idzebra_spark.operators.segment import update_index
+from idzebra_spark.operators.segment import shard_expr, update_index
 
 DOCS_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
@@ -41,15 +41,26 @@ DOCS_SCHEMA = T.StructType([
 ])
 
 
-def doc_store_snapshot(spark: SparkSession, index_path: str) -> DataFrame:
+def doc_store_snapshot(spark: SparkSession, index_path: str,
+                       shards: DataFrame | None = None,
+                       shard_size: int = 512) -> DataFrame:
     """Latest version of every non-deleted doc in the mirror.
 
     Duplicate (doc_id, ingest_seq) rows — a replayed mirror write, or
     two versions of one doc landing in the SAME micro-batch — resolve
     DETERMINISTICALLY: a delete tombstone (NULL text) wins, else the
     lexicographically-greatest content sha. ``dropDuplicates`` would
-    keep an arbitrary row that can flip across replays."""
+    keep an arbitrary row that can flip across replays.
+
+    ``shards``: optional (shard) DataFrame restricting the snapshot to
+    those shards — the scale path for per-micro-batch folds, where only
+    the batch's shards can change: the latest-per-doc groupBy then runs
+    over the touched shards' rows only, not the whole mirror."""
     store = spark.read.parquet(f"{index_path}/doc_store")
+    if shards is not None:
+        store = store.withColumn("shard", shard_expr(shard_size)).join(
+            F.broadcast(shards.select("shard").distinct()), "shard", "semi"
+        ).drop("shard")
     pick = F.struct(
         F.col("text").isNull().cast("int").alias("tomb"),
         F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("h"),
@@ -74,7 +85,16 @@ def fold_batch(batch_df: DataFrame, batch_id: int, index_path: str,
     partition instead of blind-appending, so a crash between the
     mirror write and the checkpoint commit re-runs the batch into the
     same directory — no duplicate (doc_id, ingest_seq) rows, no
-    doubled tf/doclen in the rebuilt shards."""
+    doubled tf/doclen in the rebuilt shards.
+
+    BOUNDED per-batch work: only docs in the incoming batch can change
+    the corpus, so the mirror snapshot AND the doc_meta diff are
+    semi-joined down to the batch's shards before anything heavy runs
+    — per-trigger cost is O(touched shards), not O(corpus). (A
+    full-mirror groupBy per trigger was round 2's 100-TB scale
+    wrinkle.) Correctness is unchanged: the snapshot restricted by
+    SHARD still carries every live doc of each touched shard, which is
+    exactly what a shard rebuild needs."""
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
@@ -83,10 +103,15 @@ def fold_batch(batch_df: DataFrame, batch_id: int, index_path: str,
         .write.mode("overwrite")
         .parquet(f"{index_path}/doc_store/ingest_seq={int(batch_id)}")
     )
-    snapshot = doc_store_snapshot(spark, index_path)
+    touched = (
+        batch_df.select(shard_expr(shard_size).alias("shard")).distinct()
+    )
+    snapshot = doc_store_snapshot(spark, index_path, shards=touched,
+                                  shard_size=shard_size)
     update_index(
         spark, snapshot, index_path,
         shard_size=shard_size, block_size=block_size,
+        candidate_shards=touched,
     )
 
 

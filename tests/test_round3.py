@@ -102,6 +102,56 @@ def test_search_many_facade(spark, sf_dir, tmp_path_factory, seg_idx):
         assert sorted(got[qid]) == sorted(single), qid
 
 
+# ---------------------------------------------- bounded streaming fold
+
+def test_fold_batch_is_shard_bounded(spark, tmp_path_factory):
+    """Per micro-batch, only the batch's shards may be read/diffed:
+    the snapshot plan must semi-join the mirror to the touched shard
+    set, untouched shards must keep their original lineage batch, and
+    the final index must equal a from-scratch build of the same docs."""
+    from idzebra_spark.operators.segment import shard_expr
+    from idzebra_spark.operators.wand import SegmentIndex
+    from idzebra_spark.streaming.ingest import doc_store_snapshot, fold_batch
+
+    root = tmp_path_factory.mktemp("bounded")
+    path = str(root / "idx")
+    ssz = 64
+    # batch 0: shards 0 and 1; batch 1: shard 1 only (update + add)
+    b0 = spark.createDataFrame(
+        [(i, f"alpha doc {i}") for i in range(0, 40)]
+        + [(i, f"beta doc {i}") for i in range(64, 100)],
+        ["doc_id", "text"])
+    fold_batch(b0, 0, path, shard_size=ssz, block_size=32)
+    b1 = spark.createDataFrame(
+        [(64, "beta doc 64 EDITED"), (101, "gamma new doc")],
+        ["doc_id", "text"])
+    fold_batch(b1, 1, path, shard_size=ssz, block_size=32)
+
+    lineage = spark.read.parquet(f"{path}/lineage")
+    latest = {
+        r["shard"]: r["batch"]
+        for r in lineage.groupBy("shard")
+        .agg(F.max_by("batch", "build_seq").alias("batch")).collect()
+    }
+    assert latest[0] == "b00000"      # untouched shard kept its batch
+    assert latest[1] == "b00001"      # touched shard was rebuilt
+
+    # the bounded snapshot plan semi-joins the mirror to the shard set
+    touched = b1.select(shard_expr(ssz).alias("shard")).distinct()
+    snap = doc_store_snapshot(spark, path, shards=touched, shard_size=ssz)
+    plan = snap._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan
+
+    # index content equals a from-scratch build of the merged corpus
+    idx = SegmentIndex(spark, path)
+    assert idx.count(["edited"]) == 1
+    assert idx.count(["gamma"]) == 1
+    assert idx.count(["alpha"]) == 40
+    assert idx.count(["beta"]) == 36  # doc 64's text still has 'beta'
+    n_docs, _ = idx.stats()
+    assert n_docs == 77
+
+
 def test_lsh_projection_is_integer_stable():
     """The bucket projection must be an associative integer sum —
     identical regardless of summation order (ADVICE r2:
