@@ -367,6 +367,20 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_dup_groups(_docs(spark, sf_dir), n_bits=32).orderBy("simhash")
 
 
+def q_dedup_simhash_hamming(spark, sf_dir):
+    """Banded SimHash: near-dups at Hamming distance ≤ 3 (exact-bucket
+    grouping only ever finds distance 0) — band candidates + exact
+    xor/bit_count verify, 100% recall within the distance budget by
+    pigeonhole (4 bands, ≤ 3 differing bits)."""
+    from idzebra_spark.operators.dedup import simhash_near_pairs
+
+    return (
+        simhash_near_pairs(_docs(spark, sf_dir), n_bits=32, n_bands=4,
+                           max_hamming=3)
+        .orderBy("doc_a", "doc_b").limit(500)
+    )
+
+
 def _query_vec(spark, sf_dir, vec_id=0):
     from idzebra_spark.sources.corpus import load_table
 
@@ -415,7 +429,9 @@ def q_sim_ivf_topk(spark, sf_dir):
 def q_sim_ivf_kmeans(spark, sf_dir):
     """IVF with LEARNED coarse quantizer: deterministic Lloyd k-means
     labels replace the given label column, then the standard probe.
-    No SQL oracle (iterative); pytest checks determinism + recall."""
+    The fixed iteration count makes the loop SQL-expressible — the
+    oracle (oracle_ml.kmeans_ivf_topk_sql) unrolls the 3 Lloyd
+    iterations into CTEs and must match exactly."""
     from idzebra_spark.operators.similarity import ivf_topk, kmeans_labels
 
     emb, qv = _query_vec(spark, sf_dir, 0)
@@ -1046,11 +1062,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_jaccard": (q_dedup_jaccard, oracle_ml.jaccard_pairs_sql(0.5, 500)),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, oracle_ml.minhash_lsh_pairs_sql(0.5, 16, 4, 500)),
     "dedup_simhash": (q_dedup_simhash, oracle_ml.simhash_groups_sql(32)),
+    "dedup_simhash_hamming": (
+        q_dedup_simhash_hamming, oracle_ml.simhash_near_pairs_sql(32, 4, 3, 500)),
     "dedup_embedding": (q_dedup_embedding, oracle_ml.embedding_dup_pairs_sql(0.4, 6, 64, 500)),
     "sim_cosine_topk": (q_sim_cosine_topk, oracle_ml.cosine_topk_sql(0, 10)),
     "sim_lsh_topk": (q_sim_lsh_topk, oracle_ml.lsh_topk_sql(0, 10, 6, 1, 64)),
     "sim_ivf_topk": (q_sim_ivf_topk, oracle_ml.ivf_topk_sql(0, 10, 2)),
-    "sim_ivf_kmeans": (q_sim_ivf_kmeans, None),  # iterative: pytest-checked
+    "sim_ivf_kmeans": (
+        q_sim_ivf_kmeans, oracle_ml.kmeans_ivf_topk_sql(0, 10, 8, 3, 3)),
     "wand_bm25_or": (q_wand_bm25_or, oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
     "wand_bm25_and": (q_wand_bm25_and, oracle.bm25_topk_sql(["spark", "query"], 10, "and")),
     "wand_bm25_highdf": (q_wand_bm25_highdf, oracle.bm25_topk_sql(["the", "data", "key"], 10, "or")),

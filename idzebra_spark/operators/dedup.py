@@ -301,3 +301,61 @@ def simhash_dup_groups(df: DataFrame, n_bits: int = 32,
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc"))
         .where(F.col("n_docs") > 1)
     )
+
+
+def simhash_near_pairs(df: DataFrame, n_bits: int = 32, n_bands: int = 4,
+                       max_hamming: int = 3, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """SimHash near-duplicate pairs at Hamming distance ≤ max_hamming —
+    the banded form exact-bucket grouping cannot provide (identical
+    hashes only find distance-0 dups).
+
+    Same band/verify shape as MinHash-LSH: the simhash is cut into
+    ``n_bands`` contiguous bit bands; candidates share at least one
+    band value (a band-key equality join — the only shuffle, never
+    all-pairs); the exact Hamming distance then verifies candidates.
+    Pigeonhole guarantee: with max_hamming < n_bands, any pair within
+    distance ≤ max_hamming has ≥ 1 identical band, so recall within
+    the budget is 100% — not probabilistic like MinHash bands.
+
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b."""
+    if n_bits % n_bands:
+        raise ValueError("n_bits must be divisible by n_bands")
+    band_bits = n_bits // n_bands
+    mask = (1 << band_bits) - 1
+    sims = simhash(df, n_bits, text_col, id_col).cache()
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * band_bits)
+            .bitwiseAND(F.lit(mask)).alias("key"),
+        )
+        for b in range(n_bands)
+    ])
+    bands = sims.select(
+        "doc_id", F.explode(band_structs).alias("s")
+    ).select("doc_id", F.col("s.band").alias("band"),
+             F.col("s.key").alias("key"))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"),
+              (F.col("a.band") == F.col("b.band"))
+              & (F.col("a.key") == F.col("b.key"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ha = sims.select(F.col("doc_id").alias("doc_a"),
+                     F.col("simhash").alias("ha"))
+    hb = sims.select(F.col("doc_id").alias("doc_b"),
+                     F.col("simhash").alias("hb"))
+    return (
+        cand.join(ha, "doc_a").join(hb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            .cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -174,7 +174,9 @@ ORDER BY c.doc_a ASC, c.doc_b ASC LIMIT {limit}
 """
 
 
-def simhash_groups_sql(n_bits: int = 32) -> str:
+def _simhash_cte(n_bits: int = 32) -> str:
+    """CTE chain ending in sims(doc_id, simhash) — the tf-weighted
+    SimHash twin of operators.dedup.simhash."""
     h = _H64.format(x="term")
     bit_sums = ",\n    ".join(
         f"sum(CASE WHEN (h >> {k}) & 1 = 1 THEN tf ELSE -tf END) AS b{k}"
@@ -184,8 +186,7 @@ def simhash_groups_sql(n_bits: int = 32) -> str:
         f"(CASE WHEN b{k} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {k})"
         for k in range(n_bits)
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, {_ARR} AS arr FROM documents
 ),
 tf AS (
@@ -200,10 +201,43 @@ bits AS (
     {bit_sums}
   FROM tfc GROUP BY doc_id
 ),
-sims AS (SELECT doc_id, {sim_expr} AS simhash FROM bits)
+sims AS (SELECT doc_id, {sim_expr} AS simhash FROM bits)"""
+
+
+def simhash_groups_sql(n_bits: int = 32) -> str:
+    return f"""
+WITH {_simhash_cte(n_bits)}
 SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_doc
 FROM sims GROUP BY simhash HAVING count(*) > 1
 ORDER BY simhash ASC
+"""
+
+
+def simhash_near_pairs_sql(n_bits: int = 32, n_bands: int = 4,
+                           max_hamming: int = 3, limit: int = 500) -> str:
+    """Mirror of operators.dedup.simhash_near_pairs: band-key equality
+    candidates over contiguous bit bands, exact Hamming verify
+    (xor + bit_count is integer-exact in both engines)."""
+    band_bits = n_bits // n_bands
+    mask = (1 << band_bits) - 1
+    return f"""
+WITH {_simhash_cte(n_bits)},
+bands AS (
+  SELECT doc_id, b AS band, (simhash >> (b * {band_bits})) & {mask} AS key
+  FROM sims CROSS JOIN (SELECT unnest(range(0, {n_bands})) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+FROM cand c
+JOIN sims sa ON sa.doc_id = c.doc_a
+JOIN sims sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
+ORDER BY doc_a ASC, doc_b ASC LIMIT {limit}
 """
 
 
@@ -348,6 +382,108 @@ cand AS (
   WHERE vec_id <> {query_vec_id}
 ),
 {_RERANK.format(qid=query_vec_id, k=k)}
+"""
+
+
+def kmeans_ivf_topk_sql(query_vec_id: int = 0, k: int = 10,
+                        n_clusters: int = 8, n_iter: int = 3,
+                        n_probe: int = 3) -> str:
+    """Mirror of operators.similarity.kmeans_labels + ivf_topk: the
+    deterministic Lloyd loop UNROLLED into one CTE chain per iteration
+    (fixed n_iter makes the 'iterative' algorithm SQL-expressible).
+
+    Exact twins of the Spark plan: init = the n_clusters vectors with
+    the smallest 60-bit md5(vec_id) (label = rank in that order);
+    each iteration assigns by MICRO-rounded cosine argmax with ties to
+    the lowest centroid POSITION (Spark's array_position over the
+    sorted-by-label centroid array — positions are the dense rank of
+    the surviving labels, mirrored here with row_number over label);
+    centroids recompute as per-(label, dim) means. The final IVF probe
+    and exact re-rank match ivf_topk_sql."""
+    its = []
+    prev = "c0"
+    for i in range(1, n_iter + 1):
+        its.append(f"""
+p{i} AS (
+  SELECT hv.vec_id, c.pos, unnest(hv.v) AS x, unnest(c.c) AS y
+  FROM h hv CROSS JOIN {prev} c
+),
+s{i} AS (
+  SELECT vec_id, pos,
+         CAST(round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y)))
+                    * 1000000) AS BIGINT) AS sim
+  FROM p{i} GROUP BY vec_id, pos
+),
+a{i} AS (
+  SELECT vec_id, pos AS label FROM (
+    SELECT vec_id, pos,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, pos ASC) AS rn
+    FROM s{i}
+  ) WHERE rn = 1
+),
+c{i} AS (
+  SELECT row_number() OVER (ORDER BY label ASC) - 1 AS pos,
+         list(m ORDER BY d) AS c
+  FROM (
+    SELECT label, d, avg(x) AS m FROM (
+      SELECT a{i}.label, unnest(hv.v) AS x,
+             unnest(range(1, len(hv.v) + 1)) AS d
+      FROM h hv JOIN a{i} USING (vec_id)
+    ) GROUP BY label, d
+  ) GROUP BY label
+)""")
+        prev = f"c{i}"
+    final = f"a{n_iter}"
+    return f"""
+WITH h AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         CAST(('0x' || substring(md5(vec_id::VARCHAR), 1, 15)) AS BIGINT)
+           AS hh
+  FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY hh ASC) - 1 AS pos, v AS c
+  FROM (SELECT * FROM h ORDER BY hh ASC LIMIT {n_clusters})
+),{",".join(its)},
+fc AS (
+  SELECT label, list(m ORDER BY d) AS c
+  FROM (
+    SELECT label, d, avg(x) AS m FROM (
+      SELECT {final}.label, unnest(hv.v) AS x,
+             unnest(range(1, len(hv.v) + 1)) AS d
+      FROM h hv JOIN {final} USING (vec_id)
+    ) GROUP BY label, d
+  ) GROUP BY label
+),
+q0 AS (SELECT v AS qv FROM h WHERE vec_id = {query_vec_id}),
+cp AS (
+  SELECT fc.label, unnest(fc.c) AS x, unnest(q0.qv) AS y
+  FROM fc CROSS JOIN q0
+),
+csim AS (
+  SELECT label,
+         CAST(round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y)))
+                    * 1000000) AS BIGINT) AS csim_micro
+  FROM cp GROUP BY label
+),
+probe AS (
+  SELECT label FROM csim ORDER BY csim_micro DESC, label ASC LIMIT {n_probe}
+),
+candk AS (
+  SELECT {final}.vec_id FROM {final} JOIN probe USING (label)
+  WHERE vec_id <> {query_vec_id}
+),
+fparts AS (
+  SELECT hv.vec_id, unnest(hv.v) AS x, unnest(q0.qv) AS y
+  FROM h hv JOIN candk USING (vec_id) CROSS JOIN q0
+),
+fsims AS (
+  SELECT vec_id, sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS sim
+  FROM fparts GROUP BY vec_id
+)
+SELECT vec_id, CAST(round(sim * 1000000) AS BIGINT) AS sim_micro
+FROM fsims ORDER BY sim_micro DESC, vec_id ASC LIMIT {k}
 """
 
 
