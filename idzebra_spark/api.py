@@ -154,6 +154,23 @@ class ZebraSpark:
 
     # ----------------------------------------------------------- query
 
+    def _fold_node(self, node: Node) -> Node:
+        """When the index was built with alphabet='fold', query terms
+        must go through the SAME charmap equivalence fold the tokens
+        did at index time ('café' queries the 'cafe' register) —
+        Zebra maps the query term through the charmap before the dict
+        lookup (/root/reference/index/rpnsearch.c:1269-1272)."""
+        if self._alphabet != "fold":
+            return node
+        from idzebra_spark.functions.tokenizer import fold_str
+
+        if node.op in ("term", "prefix", "phrase") and isinstance(
+                node.value, str):
+            node.value = fold_str(node.value)
+        for c in node.children:
+            self._fold_node(c)
+        return node
+
     def search(self, query: str, k: int = 10) -> DataFrame:
         """Ranked search: (doc_id, score_milli). Flat boolean queries
         run on the block-max WAND path; structured ones (parens mixing
@@ -163,6 +180,7 @@ class ZebraSpark:
         corpus re-tokenization; /root/reference/index/rpnsearch.c:
         2567-2772 evaluates the same DAG over ISAMB leaves)."""
         q = parse(query)
+        self._fold_node(q.root)
         flat = _flat_rankable(q.root)
         if flat is not None:
             mode, terms, neg = flat
@@ -179,7 +197,7 @@ class ZebraSpark:
         flat_specs: dict[str, dict] = {}
         structured: list[tuple[str, object]] = []
         for qid, qs in queries.items():
-            root = parse(qs).root
+            root = self._fold_node(parse(qs).root)
             flat = _flat_rankable(root)
             if flat is not None:
                 mode, terms, neg = flat
@@ -207,6 +225,7 @@ class ZebraSpark:
 
     def count(self, query: str) -> int:
         q = parse(query)
+        self._fold_node(q.root)
         flat = _flat_rankable(q.root)
         if flat is not None and not flat[2]:
             return self.index.count(flat[1], flat[0])

@@ -311,6 +311,20 @@ ORDER BY doc_id ASC LIMIT 100
 """
 
 
+def q_charmap_fold(spark, sf_dir):
+    """Charmap equivalence classes (util/charmap.c:614-668,
+    extract.c:1733-1749): diacritics fold to their ASCII base at
+    tokenize time, so 'café' and 'cafe' share a register. Runs the
+    fold tokenizer over a deterministic literal corpus (both engines
+    inline the same mapping)."""
+    df = spark.createDataFrame(oracle.FOLD_DEMO_ROWS, ["sid", "t"])
+    return (
+        tokenize(df, text_col="t", id_col="sid", alphabet="fold")
+        .select(F.col("doc_id").alias("sid"), "term", "pos")
+        .orderBy("sid", "pos")
+    )
+
+
 # --------------------------------------- training-data pipeline ops
 
 def q_text_token_stats(spark, sf_dir):
@@ -1054,6 +1068,7 @@ from idzebra_spark import oracle_ml  # noqa: E402
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "wand_bm25_batch": (q_wand_bm25_batch, _WAND_BATCH_SQL),
+    "charmap_fold": (q_charmap_fold, oracle.charmap_fold_sql()),
     "text_token_stats": (q_text_token_stats, oracle_ml.token_stats_sql(200)),
     "text_quality": (q_text_quality, oracle_ml.quality_sql(200)),
     "text_langid": (q_text_langid, oracle_ml.lang_id_sql(200)),

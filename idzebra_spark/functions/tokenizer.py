@@ -36,17 +36,76 @@ TOKEN_SPLIT_RE_UNICODE = r"[^\p{L}\p{Nd}]+"
 MAX_TOKEN_LEN = 512  # IT_MAX_WORD, include/it_key.h:27
 
 
+def _build_fold_map() -> tuple[str, str, dict[str, str]]:
+    """Diacritic equivalence classes — Zebra's charmap ``equivalent``
+    lines / ICU transforms (/root/reference/util/charmap.c:614-668,
+    applied at /root/reference/index/extract.c:1733-1749): 'é' indexes
+    and queries as 'e'. Built ONCE from NFD decomposition (strip
+    combining marks) over the Latin-1 Supplement + Latin Extended
+    ranges, plus the non-decomposing letters and ligatures Zebra's
+    shipped charmaps map by hand. Returns (from, to) 1:1 translate
+    strings and the multi-char replacement table — explicit literals
+    so the DuckDB oracle can inline the SAME mapping."""
+    import unicodedata
+
+    src, dst = [], []
+    for cp in range(0x00C0, 0x0250):
+        ch = chr(cp)
+        if not ch.islower():     # applied after lower(); map lowercase only
+            continue
+        base = "".join(c for c in unicodedata.normalize("NFD", ch)
+                       if not unicodedata.combining(c))
+        if base != ch and len(base) == 1 and base.isascii() and base.isalpha():
+            src.append(ch)
+            dst.append(base)
+    # non-decomposing single letters
+    for ch, base in (("ø", "o"), ("đ", "d"), ("ħ", "h"), ("ł", "l"),
+                     ("ŧ", "t"), ("ð", "d")):
+        if ch not in src:
+            src.append(ch)
+            dst.append(base)
+    multi = {"æ": "ae", "œ": "oe", "ß": "ss", "þ": "th"}
+    return "".join(src), "".join(dst), multi
+
+
+FOLD_SRC, FOLD_DST, FOLD_MULTI = _build_fold_map()
+
+
+def fold_column(col: Column) -> Column:
+    """Apply the charmap equivalence fold to a LOWERCASED column —
+    multi-char ligatures first (1:n), then the 1:1 translate. Pure
+    JVM expressions."""
+    for k, v in sorted(FOLD_MULTI.items()):
+        col = F.replace(col, F.lit(k), F.lit(v))
+    return F.translate(col, FOLD_SRC, FOLD_DST)
+
+
+def fold_str(s: str) -> str:
+    """Driver-side twin of :func:`fold_column` — fold a query term the
+    same way the index folded its tokens."""
+    s = s.lower()
+    for k, v in sorted(FOLD_MULTI.items()):
+        s = s.replace(k, v)
+    return s.translate(str.maketrans(FOLD_SRC, FOLD_DST))
+
+
 def tokenize_array(text: Column, alphabet: str = "ascii") -> Column:
     """Return an ``array<string>`` of normalized tokens for ``text``.
 
     Pure column expression (JVM-side): lowercase, regex split, drop
     empties, truncate to MAX_TOKEN_LEN. ``alphabet='unicode'`` keeps
-    any letter/digit (ICU-style); the default keeps [0-9a-z] only —
-    the reference's default charmap and the oracle contract.
+    any letter/digit (ICU-style); ``alphabet='fold'`` maps diacritic
+    equivalence classes to their ASCII base ('café' → 'cafe' — the
+    charmap.c equivalent-class behavior) before the ASCII split; the
+    default keeps [0-9a-z] only — the reference's default charmap and
+    the oracle contract.
     """
+    lowered = F.lower(text)
+    if alphabet == "fold":
+        lowered = fold_column(lowered)
     regex = (TOKEN_SPLIT_RE_UNICODE if alphabet == "unicode"
              else TOKEN_SPLIT_RE)
-    arr = F.split(F.lower(text), regex)
+    arr = F.split(lowered, regex)
     arr = F.filter(arr, lambda t: t != F.lit(""))
     return F.transform(arr, lambda t: F.substring(t, 1, MAX_TOKEN_LEN))
 

@@ -241,6 +241,46 @@ LIMIT {k}
 """
 
 
+FOLD_DEMO_ROWS = [
+    (0, "Café crème — naïve Zürich"),
+    (1, "Œuvre æther Straße API"),
+    (2, "plain ascii_text 42"),
+]
+
+
+def charmap_fold_sql() -> str:
+    """Charmap equivalence folding (alphabet='fold') over a literal
+    accented corpus — the SAME explicit fold map (tokenizer.FOLD_SRC/
+    FOLD_DST/FOLD_MULTI) inlined as translate + replace, so both
+    engines normalize 'café'→'cafe', 'œuvre'→'oeuvre', 'Straße'→
+    'strasse' identically (charmap.c equivalent classes)."""
+    from idzebra_spark.functions.tokenizer import (
+        FOLD_DST,
+        FOLD_MULTI,
+        FOLD_SRC,
+    )
+
+    expr = "lower(t)"
+    for mk, mv in sorted(FOLD_MULTI.items()):
+        expr = f"replace({expr}, '{mk}', '{mv}')"
+    expr = f"translate({expr}, '{FOLD_SRC}', '{FOLD_DST}')"
+    vals = ", ".join(f"({i}, '{s}')" for i, s in FOLD_DEMO_ROWS)
+    return f"""
+WITH src(sid, t) AS (VALUES {vals}),
+arr AS (
+  SELECT sid,
+         list_transform(
+           list_filter(regexp_split_to_array({expr}, '[^0-9a-z]+'),
+                       x -> x <> ''),
+           x -> x[1:512]) AS a
+  FROM src
+)
+SELECT sid, unnest(a) AS term,
+       CAST(unnest(range(1, len(a) + 1)) AS INT) AS pos
+FROM arr ORDER BY sid ASC, pos ASC
+"""
+
+
 def phrase_sql(phrase_terms: list[str], k: int = 10) -> str:
     """Exact adjacent-phrase hit list (ordered, distance=1 — the
     rsprox relation==3/distance==1 fast path,

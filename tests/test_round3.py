@@ -152,6 +152,43 @@ def test_fold_batch_is_shard_bounded(spark, tmp_path_factory):
     assert n_docs == 77
 
 
+# ------------------------------------------------- charmap folding
+
+def test_fold_tokenizer_goldens(spark):
+    from idzebra_spark.functions.tokenizer import fold_str, tokenize_array
+
+    df = spark.createDataFrame(
+        [(0, "Café crème — naïve Zürich"), (1, "Œuvre æther Straße")],
+        ["doc_id", "text"])
+    rows = df.select(
+        "doc_id", tokenize_array(F.col("text"), "fold").alias("a")
+    ).orderBy("doc_id").collect()
+    assert list(rows[0]["a"]) == ["cafe", "creme", "naive", "zurich"]
+    assert list(rows[1]["a"]) == ["oeuvre", "aether", "strasse"]
+    # driver-side twin agrees with the column fold
+    assert fold_str("Café") == "cafe"
+    assert fold_str("Straße") == "strasse"
+    assert fold_str("Œuvre") == "oeuvre"
+
+
+def test_fold_index_roundtrip(spark, tmp_path_factory):
+    """Indexed with alphabet='fold', 'café' and 'cafe' hit the same
+    register — from the query string through the facade."""
+    from idzebra_spark.api import ZebraSpark
+
+    path = str(tmp_path_factory.mktemp("foldidx") / "idx")
+    corpus = spark.createDataFrame(
+        [(0, "le café est chaud"), (1, "the cafe is warm"),
+         (2, "nothing related")],
+        ["doc_id", "text"])
+    zs = ZebraSpark(spark, path)
+    zs.build(corpus, shard_size=64, block_size=32, alphabet="fold")
+    hits_plain = sorted(r["doc_id"] for r in zs.search("cafe", 10).collect())
+    hits_accent = sorted(r["doc_id"] for r in zs.search("café", 10).collect())
+    assert hits_plain == hits_accent == [0, 1]
+    assert zs.count("café") == 2
+
+
 def test_lsh_projection_is_integer_stable():
     """The bucket projection must be an associative integer sum —
     identical regardless of summation order (ADVICE r2:
