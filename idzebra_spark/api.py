@@ -234,22 +234,48 @@ class ZebraSpark:
     def phrase(self, terms: list[str], k: int = 10) -> DataFrame:
         return self.index.phrase(terms, k)
 
-    def scan(self, seed: str, n_after: int = 10, n_before: int = 0) -> DataFrame:
+    def scan(self, seed: str, n_after: int = 10, n_before: int = 0,
+             limit_query: str | None = None) -> DataFrame:
         """Dictionary browse around a seed — zebra_scan
-        (/root/reference/index/rpnscan.c:285-480), served entirely by
-        the segment dictionary (no corpus scan)."""
-        d = self.index.dictionary().select("term", "df")
-        after = (
-            d.where(F.col("term") >= seed.lower())
-            .orderBy(F.asc("term")).limit(n_after)
+        (/root/reference/index/rpnscan.c:285-480), served by the
+        segment dictionary (no corpus scan). ``limit_query``: optional
+        limiting result set (rpnscan.c:200-283) — per-term counts are
+        restricted to its hits and zero-count terms are skipped."""
+        if self._alphabet == "fold":
+            from idzebra_spark.functions.tokenizer import fold_str
+
+            seed = fold_str(seed)
+        limit_set = None
+        if limit_query is not None:
+            q = parse(limit_query)
+            self._fold_node(q.root)
+            limit_set = self.index.eval_tree(q.root.to_rset_tree())
+        return self.index.scan(seed, n_after, n_before,
+                               limit_set=limit_set)
+
+    def sort_by_multivalue(self, query: str, pick: str = "min",
+                           ascending: bool = True, k: int = 10) -> DataFrame:
+        """Sort a hit set by a MULTI-VALUED per-doc key — Zebra's
+        resultSetSortSingle picks the min/max of a multi-valued sort
+        field per document (/root/reference/index/zsets.c:826-1073).
+        Here the multi-valued field is the doc's token set (the index
+        register itself); ``pick`` chooses min or max. Returns
+        (doc_id, sort_key) ordered by the picked key."""
+        hits = self.index.eval_tree(parse(query).root.to_rset_tree())
+        agg = (F.min("term") if pick == "min" else F.max("term"))
+        # per-doc key from the corpus tokens (record store read scoped
+        # to the hit set — the sort input is |hits| rows)
+        from idzebra_spark.functions.tokenizer import tokenize
+
+        toks = tokenize(self._require_corpus(), self.text_col, self.id_col,
+                        self._alphabet)
+        keys = (
+            toks.join(hits, "doc_id", "semi")
+            .groupBy("doc_id").agg(agg.alias("sort_key"))
         )
-        if n_before <= 0:
-            return after
-        before = (
-            d.where(F.col("term") < seed.lower())
-            .orderBy(F.desc("term")).limit(n_before)
-        )
-        return before.unionByName(after).orderBy(F.asc("term"))
+        order = [F.asc("sort_key") if ascending else F.desc("sort_key"),
+                 F.asc("doc_id")]
+        return keys.orderBy(*order).limit(k)
 
     def facets(self, query: str, facet_col: str, n: int = 10) -> DataFrame:
         """Facet counts over a hit set (retrieve.c:698-840) — hits come
@@ -296,6 +322,16 @@ class ZebraSpark:
                                            self._alphabet), 1, 10), " "
                 ).alias("head"),
             ).orderBy(self.id_col)
+        if elements == "index":
+            # zebra::index dump: the record's indexed terms with their
+            # positions (/root/reference/index/retrieve.c:159-345 walks
+            # the record's keys and untranslates each back to display
+            # form, index/untrans.c). Re-derived from the record store
+            # scoped to the fetched ids — bounded by the id set.
+            from idzebra_spark.functions.tokenizer import tokenize
+
+            return tokenize(out, self.text_col, self.id_col,
+                            self._alphabet).orderBy("doc_id", "pos")
         raise ValueError(f"unknown element set {elements!r}")
 
     def info(self) -> dict:

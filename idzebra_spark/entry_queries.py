@@ -869,6 +869,102 @@ def q_seg_snippets(spark, sf_dir):
     )
 
 
+def q_seg_scan_limited(spark, sf_dir):
+    """Scan with a limiting result set (rpnscan.c:200-283): per-term
+    df restricted to docs containing 'sort'; zero-count terms are
+    skipped when filling the ±N window."""
+    idx = _index(spark, sf_dir)
+    lim = idx.eval_tree(("term", "sort"))
+    return (
+        idx.scan("merge", n_after=7, n_before=5, limit_set=lim)
+        .orderBy(F.asc("term"))
+    )
+
+
+_SCAN_LIMITED_SQL = f"""
+WITH {oracle.TOKS_CTE},
+lim AS (SELECT DISTINCT doc_id FROM posting WHERE term = 'sort'),
+d AS (
+  SELECT term, count(DISTINCT p.doc_id) AS df
+  FROM posting p JOIN lim USING (doc_id) GROUP BY term
+),
+be4 AS (SELECT term, df FROM d WHERE term < 'merge' ORDER BY term DESC LIMIT 5),
+aft AS (SELECT term, df FROM d WHERE term >= 'merge' ORDER BY term ASC LIMIT 7)
+SELECT term, df FROM (SELECT * FROM be4 UNION ALL SELECT * FROM aft)
+ORDER BY term ASC
+"""
+
+
+def q_regex_fuzzy(spark, sf_dir):
+    """Regexp-2 with embedded error budget (attr 5=103,
+    rpnsearch.c:1211-1254 + dict/lookgrep.c): regex match OR ≤1 edit
+    from the stem, expanded on the segment dictionary."""
+    idx = _index(spark, sf_dir)
+    return (
+        idx.eval_tree(("fuzzy", "^s[ck]an$", "scan", 1))
+        .orderBy(F.asc("doc_id")).limit(100)
+    )
+
+
+_REGEX_FUZZY_SQL = f"""
+WITH {oracle.TOKS_CTE}
+SELECT DISTINCT doc_id FROM posting
+WHERE regexp_matches(term, '^s[ck]an$') OR levenshtein(term, 'scan') <= 1
+ORDER BY doc_id ASC LIMIT 100
+"""
+
+
+def q_sort_multivalue(spark, sf_dir):
+    """Multi-valued sort key: order 'merge' hits by the MIN of the
+    doc's token set — resultSetSortSingle picks min/max of a
+    multi-valued sort field (/root/reference/index/zsets.c:826-1073)."""
+    p = _posting(spark, sf_dir)
+    hits = (
+        p.where(F.col("term") == "merge").select("doc_id").distinct()
+    )
+    keys = (
+        p.join(hits, "doc_id", "semi")
+        .groupBy("doc_id").agg(F.min("term").alias("sort_key"))
+    )
+    return keys.orderBy(F.asc("sort_key"), F.asc("doc_id")).limit(10)
+
+
+_SORT_MULTI_SQL = f"""
+WITH {oracle.TOKS_CTE},
+hits AS (SELECT DISTINCT doc_id FROM posting WHERE term = 'merge')
+SELECT p.doc_id, min(p.term) AS sort_key
+FROM posting p JOIN hits USING (doc_id)
+GROUP BY p.doc_id ORDER BY sort_key ASC, doc_id ASC LIMIT 10
+"""
+
+
+def q_record_fetch_index(spark, sf_dir):
+    """'zebra::index' display element set (retrieve.c:159-345,
+    untrans.c): dump the indexed (term, pos) keys of fetched records
+    — scoped to the first 5 'merge' hits."""
+    p = _posting(spark, sf_dir)
+    ids = (
+        p.where(F.col("term") == "merge").select("doc_id").distinct()
+        .orderBy(F.asc("doc_id")).limit(5)
+    )
+    return (
+        p.join(ids, "doc_id", "semi")
+        .select("doc_id", "term", "pos")
+        .orderBy(F.asc("doc_id"), F.asc("pos")).limit(300)
+    )
+
+
+_FETCH_INDEX_SQL = f"""
+WITH {oracle.TOKS_CTE},
+ids AS (
+  SELECT DISTINCT doc_id FROM posting WHERE term = 'merge'
+  ORDER BY doc_id ASC LIMIT 5
+)
+SELECT p.doc_id, p.term, p.pos FROM posting p JOIN ids USING (doc_id)
+ORDER BY doc_id ASC, pos ASC LIMIT 300
+"""
+
+
 def q_rank2(spark, sf_dir):
     """Zebra rank-2 (/root/reference/index/rank1.c:220-225): the
     rank-1 score MINUS the document's static rank (written as the
@@ -1069,6 +1165,10 @@ from idzebra_spark import oracle_ml  # noqa: E402
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "wand_bm25_batch": (q_wand_bm25_batch, _WAND_BATCH_SQL),
     "charmap_fold": (q_charmap_fold, oracle.charmap_fold_sql()),
+    "seg_scan_limited": (q_seg_scan_limited, _SCAN_LIMITED_SQL),
+    "regex_fuzzy": (q_regex_fuzzy, _REGEX_FUZZY_SQL),
+    "sort_multivalue": (q_sort_multivalue, _SORT_MULTI_SQL),
+    "record_fetch_index": (q_record_fetch_index, _FETCH_INDEX_SQL),
     "text_token_stats": (q_text_token_stats, oracle_ml.token_stats_sql(200)),
     "text_quality": (q_text_quality, oracle_ml.quality_sql(200)),
     "text_langid": (q_text_langid, oracle_ml.lang_id_sql(200)),

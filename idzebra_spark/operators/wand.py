@@ -1088,14 +1088,88 @@ class SegmentIndex:
 
     MAX_EXPAND = 10000  # truncation fan-out bound (dict grep limit)
 
+    def scan(self, seed: str, n_after: int = 10, n_before: int = 0,
+             limit_set: DataFrame | None = None) -> DataFrame:
+        """Dictionary browse around a seed term — zebra_scan. Without
+        ``limit_set`` it is served purely by the merged dictionary
+        (no posting decode). With a limiting result set
+        (/root/reference/index/rpnscan.c:200-283 ``scan_save_set``):
+        per-term counts are RESTRICTED to the hit set and zero-count
+        terms are skipped, exactly as rpn_scan walks the dictionary
+        probing each term against the limit set until the window
+        fills. The Spark shape: take a candidate window of dictionary
+        terms around the seed, count each term's postings inside the
+        limit set (posting scan pruned to the candidates + semi-join),
+        and DOUBLE the candidate window until enough nonzero terms
+        exist on both sides or the dictionary is exhausted — a few
+        driver round trips, each metadata-sized."""
+        seed = seed.lower()
+        d = self.dictionary().select("term", F.col("df").cast("long")
+                                     .alias("df"))
+        if limit_set is None:
+            after = (d.where(F.col("term") >= seed)
+                     .orderBy(F.asc("term")).limit(n_after))
+            if n_before <= 0:
+                return after
+            before = (d.where(F.col("term") < seed)
+                      .orderBy(F.desc("term")).limit(n_before))
+            return before.unionByName(after).orderBy(F.asc("term"))
+
+        lim = limit_set.select("doc_id").distinct()
+        factor = 4
+        while True:
+            cand_after = [
+                r["term"] for r in d.where(F.col("term") >= seed)
+                .orderBy(F.asc("term")).limit(factor * n_after).collect()
+            ]
+            cand_before = [
+                r["term"] for r in d.where(F.col("term") < seed)
+                .orderBy(F.desc("term")).limit(factor * n_before).collect()
+            ] if n_before > 0 else []
+            cand = cand_after + cand_before
+            if not cand:
+                return self.spark.createDataFrame([], "term string, df long")
+            counts = (
+                self.term_postings(cand, with_positions=False)
+                .join(lim, "doc_id", "semi")
+                .groupBy("term")
+                .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+                .collect()
+            )
+            by_term = {r["term"]: r["df"] for r in counts}
+            hits_after = [t for t in cand_after if by_term.get(t)]
+            hits_before = [t for t in cand_before if by_term.get(t)]
+            a_done = (len(hits_after) >= n_after
+                      or len(cand_after) < factor * n_after)
+            b_done = (n_before <= 0 or len(hits_before) >= n_before
+                      or len(cand_before) < factor * n_before)
+            if a_done and b_done:
+                rows = sorted(
+                    [(t, by_term[t]) for t in hits_after[:n_after]]
+                    + [(t, by_term[t]) for t in hits_before[:n_before]]
+                )
+                return self.spark.createDataFrame(
+                    rows, "term string, df long")
+            factor *= 4
+
     def expand(self, kind: str, pattern: str,
-               field: str | None = None) -> list[str]:
+               field: str | None = None, errors: int = 1,
+               stem: str | None = None) -> list[str]:
         """Dictionary truncation expansion — Zebra's dict_lookup_grep
         over the term dictionary (/root/reference/index/rpnsearch.c:
         1148-1254): 'prefix' = right trunc (attr 5=1), 'suffix' = left
         trunc (5=2), 'contains' = both (5=3), 'regex' = regexp-1
-        (5=102), 'z3958' = ?n/# masking (5=104). Returns the sorted
+        (5=102), 'z3958' = ?n/# masking (5=104), 'fuzzy' = regexp-2
+        with an embedded error budget (5=103). Returns the sorted
         matching terms (bounded by MAX_EXPAND).
+
+        'fuzzy' approximates term_103 (/root/reference/index/
+        rpnsearch.c:1211-1254, dict/lookgrep.c approximate DFA walk):
+        a term matches if it satisfies the regex exactly OR lies
+        within ``errors`` edits of ``stem`` (default: the pattern
+        stripped to its literal alphanumerics) — the declarative twin
+        of 'regex with ≤ n errors', without reimplementing the
+        Wu-Manber bit-parallel automaton.
 
         Expansion is scoped to one register: by default the BODY text
         (composite ``field\\x1fterm`` keys excluded), or a single
@@ -1126,6 +1200,15 @@ class SegmentIndex:
             d = d.where(base.rlike(pattern))
         elif kind == "z3958":
             d = d.where(base.rlike(z3958_to_regex(pat)))
+        elif kind == "fuzzy":
+            import re as _re
+
+            s = (stem if stem is not None
+                 else _re.sub(r"[^0-9a-z]", "", pat))
+            d = d.where(
+                base.rlike(pattern)
+                | (F.levenshtein(base, F.lit(s)) <= int(errors))
+            )
         else:
             raise ValueError(f"unknown expansion kind {kind!r}")
         rows = d.limit(self.MAX_EXPAND + 1).collect()
@@ -1142,6 +1225,12 @@ class SegmentIndex:
         from idzebra_spark.operators.boolean import FIELD_SEP
 
         op = tree[0]
+        if op == "fuzzy":
+            # ("fuzzy", pattern[, stem[, errors]])
+            stem = tree[2] if len(tree) > 2 else None
+            errors = tree[3] if len(tree) > 3 else 1
+            return ("terms", self.expand("fuzzy", tree[1], stem=stem,
+                                         errors=errors))
         if op in ("prefix", "suffix", "contains", "regex", "z3958"):
             pat = tree[1]
             if FIELD_SEP in pat:

@@ -152,6 +152,50 @@ def test_fold_batch_is_shard_bounded(spark, tmp_path_factory):
     assert n_docs == 77
 
 
+# --------------------------------- scan limit set / sort / fetch index
+
+def test_facade_scan_limited_sort_multi_fetch_index(spark, sf_dir, seg_idx):
+    from idzebra_spark.api import ZebraSpark
+    from idzebra_spark.sources.corpus import load_documents
+
+    corpus = load_documents(spark, sf_dir)
+    zs = ZebraSpark(spark, seg_idx.path, corpus=corpus)
+
+    # limit-set scan: every returned term must have hits inside the
+    # limit set, and the window sizes hold
+    rows = zs.scan("merge", n_after=4, n_before=2,
+                   limit_query="sort").collect()
+    assert 0 < len(rows) <= 6
+    assert all(r["df"] > 0 for r in rows)
+    lim_docs = {r["doc_id"]
+                for r in zs.index.eval_tree(("term", "sort")).collect()}
+    for r in rows:
+        tp = {p["doc_id"] for p in zs.index.term_postings(
+            [r["term"]], with_positions=False).collect()}
+        assert len(tp & lim_docs) == r["df"]
+
+    # multi-valued sort key: min token per doc, ascending
+    mk = zs.sort_by_multivalue("merge", pick="min", k=5).collect()
+    assert len(mk) == 5
+    keys = [r["sort_key"] for r in mk]
+    assert keys == sorted(keys)
+
+    # zebra::index element set: per-doc term/pos dump
+    ids = [r["doc_id"] for r in mk[:2]]
+    dump = zs.fetch(ids, elements="index").collect()
+    assert {r["doc_id"] for r in dump} == set(ids)
+    assert all(r["pos"] >= 1 for r in dump)
+
+
+def test_fuzzy_expansion(seg_idx):
+    """fuzzy = regex OR edit-budget around the stem; plain regex and
+    plain edit-distance are both subsets of it."""
+    fz = set(seg_idx.expand("fuzzy", "^s[ck]an$", stem="scan", errors=1))
+    rx = set(seg_idx.expand("regex", "^s[ck]an$"))
+    assert rx <= fz
+    assert "scan" in fz
+
+
 # ------------------------------------------------- charmap folding
 
 def test_fold_tokenizer_goldens(spark):
