@@ -2,9 +2,10 @@
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``
 kernels.
 
-Round 2: the decode step is REAL for uncompressed formats — a pure-
-numpy PPM (P6) image codec and a RIFF/WAV PCM-16 audio codec (no
-external libraries needed). Compressed codecs (jpeg/h264/...) remain
+The decode step is REAL for uncompressed formats — pure-numpy PPM
+(P6) and BMP (24-bit BI_RGB, bottom-up + stride padding) image codecs
+and a RIFF/WAV PCM-16 audio codec (no external libraries needed).
+Compressed codecs (jpeg/h264/...) remain
 STUBBED behind ``_fake_decode`` (the container has no media libs);
 swapping the stub for PIL/ffmpeg is a body-only change inside the
 kernel. The Spark-side plumbing — schema, partition sizing, UDF
@@ -109,6 +110,47 @@ def image_features(img: np.ndarray) -> np.ndarray:
     return f
 
 
+# ---------------------------------------------------------------- BMP
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Uncompressed 24-bit BI_RGB BMP from an (h, w, 3) uint8 RGB
+    array — bottom-up rows, BGR byte order, 4-byte row stride padding
+    (the real on-disk layout quirks)."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    stride = (w * 3 + 3) & ~3
+    pad = stride - w * 3
+    rows = img[::-1, :, ::-1]  # bottom-up, RGB→BGR
+    body = b"".join(rows[r].tobytes() + b"\x00" * pad for r in range(h))
+    offset = 14 + 40
+    hdr = (b"BM" + struct.pack("<IHHI", offset + len(body), 0, 0, offset)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                         2835, 2835, 0, 0))
+    return hdr + body
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Parse uncompressed 24-bit BI_RGB BMP → (h, w, 3) uint8 RGB —
+    pure numpy. Handles bottom-up (positive height) and top-down
+    (negative height) row order and the padded stride."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (offset,) = struct.unpack("<I", payload[10:14])
+    w, h_signed = struct.unpack("<ii", payload[18:26])
+    (bpp,) = struct.unpack("<H", payload[28:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=h * stride,
+                        offset=offset)
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if h_signed > 0:
+        rows = rows[::-1]  # bottom-up → top-down
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
 # ---------------------------------------------------------------- WAV
 
 def encode_wav(samples: np.ndarray, rate: int = WAV_RATE) -> bytes:
@@ -176,9 +218,12 @@ def synth_media(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
                 if kind == 0:
                     w, h = 8 + int(mid) % 9, 6 + int(mid) % 7
                     img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                    codec = "ppm" if (int(mid) // 3) % 2 == 0 else "bmp"
+                    payload = (encode_ppm(img) if codec == "ppm"
+                               else encode_bmp(img))
                     meta = {"width": w, "height": h, "duration_ms": 0,
-                            "codec": "ppm"}
-                    rows.append((int(mid), "image", encode_ppm(img), meta))
+                            "codec": codec}
+                    rows.append((int(mid), "image", payload, meta))
                 elif kind == 1:
                     n = 400 + int(mid) % 800
                     s = (rng.normal(0, 3000, n)).astype(np.int16)
@@ -225,6 +270,10 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
                 try:
                     if codec == "ppm":
                         feats.append(image_features(decode_ppm(b)).tolist())
+                        decoded.append(True)
+                        continue
+                    if codec == "bmp":
+                        feats.append(image_features(decode_bmp(b)).tolist())
                         decoded.append(True)
                         continue
                     if codec == "wav":

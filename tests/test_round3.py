@@ -196,6 +196,31 @@ def test_fuzzy_expansion(seg_idx):
     assert "scan" in fz
 
 
+# ------------------------------------------------------- BMP codec
+
+def test_bmp_codec_roundtrip():
+    import numpy as np
+
+    from idzebra_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(7)
+    for h, w in [(6, 9), (5, 5), (1, 3), (7, 2)]:  # odd widths → stride pad
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp(img)) == img).all()
+    # top-down variant (negative height) decodes too
+    import struct
+
+    img = rng.integers(0, 256, (4, 3, 3), dtype=np.uint8)
+    # encode writes img[::-1] bottom-up → physical row order == img;
+    # marking the height negative (top-down) makes the decoder return
+    # the physical order unflipped, i.e. img again
+    b = bytearray(encode_bmp(img[::-1]))
+    b[22:26] = struct.pack("<i", -4)
+    assert (decode_bmp(bytes(b)) == img).all()
+    with pytest.raises(ValueError):
+        decode_bmp(b"notabmp")
+
+
 # ------------------------------------------------- charmap folding
 
 def test_fold_tokenizer_goldens(spark):
