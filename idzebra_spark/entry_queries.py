@@ -1160,6 +1160,99 @@ ORDER BY doc_id ASC LIMIT 100
 """
 
 
+# ------------------------------------------- round-3 record filters:
+# XML (mod_dom.c / mod_grs_xml.c analog, JVM xpath extraction) and
+# MARC ISO2709 (mod_grs_marc.c analog, Arrow-batched binary parse).
+# Both entries prove an EXACT round trip documents → records → parsed
+# corpus (md5 of the body text pins byte equality), so the oracle can
+# search/compare the raw `documents` table directly.
+
+def q_xml_record_filter(spark, sf_dir):
+    """XML record filter parity: documents → entity-escaped XML →
+    JVM ``xpath_*`` extraction (scalar paths + a node-set path) back
+    to columns. md5(text) pins the exact body round trip
+    (/root/reference/index/mod_dom.c, mod_grs_xml.c)."""
+    from idzebra_spark.sources.xml_filter import xml_corpus
+
+    c = xml_corpus(_docs(spark, sf_dir))
+    return (
+        c.select("doc_id", "source", "lang", "tags",
+                 F.md5(F.col("text")).alias("body_md5"))
+        .orderBy(F.asc("doc_id")).limit(200)
+    )
+
+
+_XML_FILTER_SQL = """
+SELECT doc_id, source, lang,
+       source || ' ' || lang || ' d' || (doc_id % 7)::VARCHAR AS tags,
+       md5(text) AS body_md5
+FROM documents ORDER BY doc_id ASC LIMIT 200
+"""
+
+
+def q_marc_record_filter(spark, sf_dir):
+    """MARC ISO2709 filter parity: documents → binary MARC records
+    (leader + directory + 0x1E/0x1F-delimited fields) → Arrow-batched
+    parse → pivoted corpus columns (mod_grs_marc.c:41-263)."""
+    from idzebra_spark.sources.marc_filter import marc_corpus, synth_marc
+
+    c = marc_corpus(synth_marc(_docs(spark, sf_dir)))
+    return (
+        c.select("doc_id", "source", "lang",
+                 F.md5(F.col("text")).alias("body_md5"))
+        .orderBy(F.asc("doc_id")).limit(200)
+    )
+
+
+_MARC_FILTER_SQL = """
+SELECT doc_id, source, lang, md5(text) AS body_md5
+FROM documents ORDER BY doc_id ASC LIMIT 200
+"""
+
+
+def _xml_index(spark, sf_dir):
+    """Segment index built from the XML-extracted corpus — fielded
+    composite keys for the xpath-derived columns (word-indexed
+    `source` and node-set `tags`, complete-field `lang`)."""
+    key = sf_dir + "#xml"
+    if key not in _IDX_CACHE:
+        import tempfile
+
+        from idzebra_spark.operators.segment import build_index
+        from idzebra_spark.operators.wand import SegmentIndex
+        from idzebra_spark.sources.xml_filter import xml_corpus
+
+        path = tempfile.mkdtemp(prefix="idzebra_entry_x_") + "/idx"
+        build_index(spark, xml_corpus(_docs(spark, sf_dir)), path,
+                    shard_size=512, block_size=128,
+                    fields={"w": ["source", "tags"], "p": ["lang"]})
+        _IDX_CACHE[key] = SegmentIndex(spark, path)
+    return _IDX_CACHE[key]
+
+
+def q_xml_fielded_search(spark, sf_dir):
+    """End-to-end XML pipeline: synthesized XML records, xpath field
+    extraction, fielded segment index, composite-key search — the
+    `tags` leaf hits a node-set-derived field that only exists after
+    XML parsing (d<doc_id%7> never occurs in the body text)."""
+    from idzebra_spark.operators.boolean import fielded_term
+
+    idx = _xml_index(spark, sf_dir)
+    tree = ("and", [
+        ("term", fielded_term("tags", "d3")),
+        ("term", "merge"),
+    ])
+    return idx.eval_tree(tree).orderBy(F.asc("doc_id")).limit(100)
+
+
+_XML_FIELDED_SQL = f"""
+WITH {oracle.TOKS_CTE}
+SELECT DISTINCT doc_id FROM posting
+WHERE term = 'merge' AND doc_id % 7 = 3
+ORDER BY doc_id ASC LIMIT 100
+"""
+
+
 from idzebra_spark import oracle_ml  # noqa: E402
 
 # Ordered by re-verification priority: the grading driver checked the
@@ -1170,6 +1263,9 @@ from idzebra_spark import oracle_ml  # noqa: E402
 # are already double-green in CORRECTNESS_r01+r02.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # -- new in round 3
+    "xml_record_filter": (q_xml_record_filter, _XML_FILTER_SQL),
+    "xml_fielded_search": (q_xml_fielded_search, _XML_FIELDED_SQL),
+    "marc_record_filter": (q_marc_record_filter, _MARC_FILTER_SQL),
     "wand_bm25_batch": (q_wand_bm25_batch, _WAND_BATCH_SQL),
     "charmap_fold": (q_charmap_fold, oracle.charmap_fold_sql()),
     "dedup_simhash_hamming": (

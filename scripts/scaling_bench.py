@@ -219,6 +219,22 @@ cores wall-time flatlines *on this box* no matter the code. The
 envelope and therefore measures the job's actual parallel efficiency —
 which is what transfers to separate 4N executors with independent
 memory controllers and I/O on a real cluster.
+
+## Round-3 notes (serving-tier throughput)
+
+- Single-query latency on local mode is floored by Spark
+  job-scheduling cost (~0.5 s/job); the kernel itself is ms-scale
+  (BENCH/capacity.md). Round 3 adds the serving-tier answer:
+  `SegmentIndex.topk_many` scores N queries in ONE cogrouped pass
+  (union-of-terms pruned block scan, shared per-shard decode,
+  per-query top-k window). The batch-64 column above is 64 distinct
+  mixed AND/OR queries in a single job — this is the number that
+  transfers to a cluster frontend draining its request queue in
+  micro-batches, and it is rank-identical to the single-query kernel
+  (oracle row `wand_bm25_batch`).
+- Query scaling (concurrent q/s, thread-pool of 4 clients) remains
+  scheduler-bound by design; the batch efficiency row measures kernel
+  scaling without that floor.
 """
     out_dir = os.path.join(REPO, "BENCH")
     os.makedirs(out_dir, exist_ok=True)
