@@ -1253,6 +1253,55 @@ ORDER BY doc_id ASC LIMIT 100
 """
 
 
+def q_safari_record_filter(spark, sf_dir):
+    """Safari filter parity: documents rendered as safari line records
+    (pre-tokenized ``[type]id section seqno field term`` lines,
+    mod_safari.c:118-190), parsed back JVM-side — the stream must be
+    position-for-position the tokenizer's own posting stream."""
+    from idzebra_spark.sources.safari_filter import parse_safari, synth_safari
+
+    p = parse_safari(synth_safari(_docs(spark, sf_dir)))
+    return (
+        p.where(F.col("doc_id") < 20)
+        .select("doc_id", "term", F.col("pos").cast("int").alias("pos"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+_SAFARI_FILTER_SQL = f"""
+WITH {oracle.TOKS_CTE}
+SELECT doc_id, term, pos::INTEGER AS pos FROM posting
+WHERE doc_id < 20 ORDER BY doc_id, pos
+"""
+
+
+def _safari_index(spark, sf_dir):
+    """Segment index built from the parsed safari stream via
+    ``build_index(pretokenized=True)`` — no tokenizer anywhere on the
+    build path; BM25 stats derive from posting counts."""
+    key = sf_dir + "#safari"
+    if key not in _IDX_CACHE:
+        import tempfile
+
+        from idzebra_spark.operators.segment import build_index
+        from idzebra_spark.operators.wand import SegmentIndex
+        from idzebra_spark.sources.safari_filter import (
+            safari_postings, synth_safari)
+
+        path = tempfile.mkdtemp(prefix="idzebra_entry_s_") + "/idx"
+        build_index(spark, safari_postings(synth_safari(_docs(spark, sf_dir))),
+                    path, shard_size=512, block_size=128, pretokenized=True)
+        _IDX_CACHE[key] = SegmentIndex(spark, path)
+    return _IDX_CACHE[key]
+
+
+def q_safari_search(spark, sf_dir):
+    """BM25 top-k over the PRETOKENIZED (safari-built) index — scores
+    must equal the text-built index's, so the shared BM25 oracle
+    applies unchanged."""
+    return _safari_index(spark, sf_dir).topk(["merge", "sort"], 10, "or")
+
+
 from idzebra_spark import oracle_ml  # noqa: E402
 
 # Ordered by re-verification priority: the grading driver checked the
@@ -1266,6 +1315,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "xml_record_filter": (q_xml_record_filter, _XML_FILTER_SQL),
     "xml_fielded_search": (q_xml_fielded_search, _XML_FIELDED_SQL),
     "marc_record_filter": (q_marc_record_filter, _MARC_FILTER_SQL),
+    "safari_record_filter": (q_safari_record_filter, _SAFARI_FILTER_SQL),
+    "safari_search": (q_safari_search,
+                      oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
     "wand_bm25_batch": (q_wand_bm25_batch, _WAND_BATCH_SQL),
     "charmap_fold": (q_charmap_fold, oracle.charmap_fold_sql()),
     "dedup_simhash_hamming": (

@@ -307,6 +307,7 @@ def build_index(
     reindex_shards: "list[int] | DataFrame | None" = None,
     fields: dict[str, list[str]] | None = None,
     alphabet: str = "ascii",
+    pretokenized: bool = False,
 ) -> dict:
     """Build (or resume) the segment index at ``path``.
 
@@ -326,6 +327,16 @@ def build_index(
     path; readers resolve the latest build_seq per shard). A lineage
     tombstone row (docs_indexed=0) is written even for shards whose
     docs were all deleted, so the stale batch stops being visible.
+    ``pretokenized``: the corpus IS a posting stream ``(doc_id, term,
+    pos[, field])`` — the safari record filter's contract
+    (/root/reference/index/mod_safari.c:118-190: the producer supplies
+    record ids, seqnos and index names; no tokenization happens).
+    doclen/norms become the per-doc posting count, the per-row content
+    invariant hashes the sorted (field, term, pos) stream, and a
+    non-null ``field`` value yields the same composite
+    ``field\\x1fterm`` dictionary key as ``fields=``. Mutually
+    exclusive with ``fields=``.
+
     Returns build metrics for the batch.
     """
     lineage = read_lineage(spark, path)
@@ -337,14 +348,27 @@ def build_index(
     batch = f"b{build_seq:05d}"
 
     fcols = _field_cols(fields)
-    # null text → '' here, once: downstream doclen would otherwise be
-    # size(NULL) = -1 (poisoned BM25 norms) and sha2(NULL) = NULL
-    # (update_index would rebuild the shard on every sync)
-    src = corpus.select(
-        F.col(id_col).alias("doc_id"),
-        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
-        *[F.col(c) for c in fcols],
-    ).withColumn("shard", shard_expr(shard_size))
+    if pretokenized:
+        if fields:
+            raise ValueError("pretokenized and fields= are exclusive")
+        # corpus is the posting stream (mod_safari contract): one row
+        # per occurrence; optional `field` column names the index
+        src = corpus.select(
+            F.col(id_col).alias("doc_id"),
+            F.col("term").cast("string").alias("term"),
+            F.col("pos").cast("int").alias("pos"),
+            (F.col("field").cast("string") if "field" in corpus.columns
+             else F.lit(None).cast("string")).alias("field"),
+        ).withColumn("shard", shard_expr(shard_size))
+    else:
+        # null text → '' here, once: downstream doclen would otherwise
+        # be size(NULL) = -1 (poisoned BM25 norms) and sha2(NULL) =
+        # NULL (update_index would rebuild the shard on every sync)
+        src = corpus.select(
+            F.col(id_col).alias("doc_id"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("text"),
+            *[F.col(c) for c in fcols],
+        ).withColumn("shard", shard_expr(shard_size))
 
     reindex_df: DataFrame | None = None
     if reindex_shards is not None:
@@ -385,11 +409,27 @@ def build_index(
     tick("plan")
 
     # doc_meta: per-row sha256 invariant + doclen — ONE scan, no join
-    meta = src.select(
-        "shard", "doc_id",
-        F.size(tokenize_array(F.col("text"), alphabet)).alias("doclen"),
-        content_sha("text", fcols).alias("sha256"),
-    )
+    if pretokenized:
+        # doclen = per-doc posting count; the invariant hashes the
+        # sorted (field, term, pos) stream so ANY posting edit is a
+        # content change to the update-diff
+        meta = src.groupBy("shard", "doc_id").agg(
+            F.count("*").alias("doclen"),
+            F.sha2(
+                F.concat_ws(
+                    " ",
+                    F.sort_array(F.collect_list(F.concat_ws(
+                        ":", F.coalesce("field", F.lit("")), "term",
+                        F.col("pos").cast("string")))),
+                ), 256,
+            ).alias("sha256"),
+        )
+    else:
+        meta = src.select(
+            "shard", "doc_id",
+            F.size(tokenize_array(F.col("text"), alphabet)).alias("doclen"),
+            content_sha("text", fcols).alias("sha256"),
+        )
 
     # norms per shard (derived from the same single-scan projection)
     norms = (
@@ -405,10 +445,23 @@ def build_index(
     # vectorized encode kernel per shard. Written range-partitioned +
     # sorted by term so query-term predicates prune files via parquet
     # min/max stats.
-    toks = (
-        fielded_postings(src, fields, alphabet) if fields
-        else tokenize(src, "text", "doc_id", alphabet)
-    ).withColumn("shard", shard_expr(shard_size))
+    if pretokenized:
+        from idzebra_spark.operators.boolean import FIELD_SEP
+
+        toks = src.select(
+            "doc_id",
+            F.when(
+                F.col("field").isNotNull() & (F.col("field") != ""),
+                F.concat(F.col("field"), F.lit(FIELD_SEP), F.col("term")),
+            ).otherwise(F.col("term")).alias("term"),
+            "pos",
+        )
+    else:
+        toks = (
+            fielded_postings(src, fields, alphabet) if fields
+            else tokenize(src, "text", "doc_id", alphabet)
+        )
+    toks = toks.withColumn("shard", shard_expr(shard_size))
     aggs = [F.count("*").alias("tf")]
     if store_positions:
         aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))

@@ -130,6 +130,82 @@ def test_marc_spark_roundtrip(docs):
             (y.doc_id, y.text, y.source, y.lang)
 
 
+# ----------------------------------------------------------- safari
+
+def test_safari_line_forms(spark):
+    """Optional type char (defaults to '0' on a digit-led line,
+    mod_safari.c:146-151), term = rest of line, malformed dropped."""
+    from idzebra_spark.sources.safari_filter import parse_safari
+
+    rec = "\n".join([
+        "match-key-1",
+        "w7 1 3 title hello",          # typed line
+        "7 1 4 title world",           # digit-led → type '0'
+        "p7 1 1 author smith, john",   # term with spaces
+        "garbage line",                # malformed → dropped
+        "",
+    ])
+    df = spark.createDataFrame([(rec,)], "safari string")
+    rows = {(r.doc_id, r.index_type, r.field, r.pos, r.term)
+            for r in parse_safari(df).collect()}
+    assert rows == {
+        (7, "w", "title", 3, "hello"),
+        (7, "0", "title", 4, "world"),
+        (7, "p", "author", 1, "smith, john"),
+    }
+
+
+def test_safari_pretokenized_build_matches_text_build(spark, docs, tmp_path):
+    """A safari-fed pretokenized build is rank- and stat-identical to
+    the regular text build over the same corpus."""
+    from idzebra_spark.operators.segment import build_index
+    from idzebra_spark.operators.wand import SegmentIndex
+    from idzebra_spark.sources.safari_filter import (
+        safari_postings, synth_safari)
+
+    pt, tt = str(tmp_path / "pidx"), str(tmp_path / "tidx")
+    build_index(spark, safari_postings(synth_safari(docs)), pt,
+                shard_size=256, block_size=64, pretokenized=True)
+    build_index(spark, docs, tt, shard_size=256, block_size=64)
+    pi, ti = SegmentIndex(spark, pt), SegmentIndex(spark, tt)
+    for terms, mode in [(["merge", "sort"], "or"), (["spark", "query"], "and")]:
+        a = [(r.doc_id, r.score_milli) for r in pi.topk(terms, 10, mode).collect()]
+        b = [(r.doc_id, r.score_milli) for r in ti.topk(terms, 10, mode).collect()]
+        assert a == b
+    da = sorted(map(tuple, pi.dictionary().select("term", "df", "cf").collect()))
+    db = sorted(map(tuple, ti.dictionary().select("term", "df", "cf").collect()))
+    assert da == db
+
+
+def test_safari_fielded_composite_keys(spark, tmp_path):
+    """Non-body safari fields land as composite field\\x1fterm keys."""
+    from idzebra_spark.operators.boolean import fielded_term
+    from idzebra_spark.operators.segment import build_index
+    from idzebra_spark.operators.wand import SegmentIndex
+    from idzebra_spark.sources.safari_filter import parse_safari
+
+    recs = [
+        "k1\nw1 1 1 body alpha\nw1 1 2 body beta\nw1 1 1 title alpha",
+        "k2\nw2 1 1 body alpha\nw2 1 1 title gamma",
+    ]
+    df = spark.createDataFrame([(r,) for r in recs], "safari string")
+    p = parse_safari(df)
+    from pyspark.sql import functions as FF
+    postings = p.select(
+        "doc_id", "term", "pos",
+        FF.when(FF.col("field") == "body", FF.lit(None).cast("string"))
+        .otherwise(FF.col("field")).alias("field"))
+    path = str(tmp_path / "sidx")
+    build_index(spark, postings, path, shard_size=16, block_size=8,
+                pretokenized=True)
+    idx = SegmentIndex(spark, path)
+    hit = {r.doc_id for r in idx.eval_tree(
+        ("term", fielded_term("title", "alpha"))).collect()}
+    assert hit == {1}
+    both = {r.doc_id for r in idx.eval_tree(("term", "alpha")).collect()}
+    assert both == {1, 2}
+
+
 def test_marc_parse_stream_schema(docs):
     f = parse_marc(synth_marc(docs.limit(10)))
     assert f.columns == ["doc_id", "tag", "ind", "sub", "value", "occ"]
