@@ -160,9 +160,12 @@ class ZebraSpark:
         did at index time ('café' queries the 'cafe' register) —
         Zebra maps the query term through the charmap before the dict
         lookup (/root/reference/index/rpnsearch.c:1269-1272)."""
-        if self._alphabet != "fold":
+        if self._alphabet == "fold":
+            from idzebra_spark.functions.tokenizer import fold_str
+        elif not isinstance(self._alphabet, str):
+            fold_str = self._alphabet.fold_str  # parsed .chr Charmap
+        else:
             return node
-        from idzebra_spark.functions.tokenizer import fold_str
 
         if node.op in ("term", "prefix", "phrase") and isinstance(
                 node.value, str):
@@ -245,6 +248,8 @@ class ZebraSpark:
             from idzebra_spark.functions.tokenizer import fold_str
 
             seed = fold_str(seed)
+        elif not isinstance(self._alphabet, str):
+            seed = self._alphabet.fold_str(seed)
         limit_set = None
         if limit_query is not None:
             q = parse(limit_query)

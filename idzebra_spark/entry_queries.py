@@ -325,6 +325,25 @@ def q_charmap_fold(spark, sf_dir):
     )
 
 
+def q_charmap_chr(spark, sf_dir):
+    """Full .chr charmap-FILE support (tab/string.chr syntax →
+    util/charmap.c:743-823): the demo spec exercises every directive
+    — lowercase/uppercase value sets with {a-z} ranges, space, entity
+    `map` lines, diacritic maps, and `equivalent` classes with (..)
+    multi-char members. The parsed Charmap compiles to pure JVM
+    translate/replace/split expressions; the oracle SQL is generated
+    FROM the same parsed object."""
+    from idzebra_spark.functions.charmap import charmap_from_chr
+
+    cm = charmap_from_chr(oracle.CHR_DEMO_SPEC)
+    df = spark.createDataFrame(oracle.CHR_DEMO_ROWS, ["sid", "t"])
+    return (
+        tokenize(df, text_col="t", id_col="sid", alphabet=cm)
+        .select(F.col("doc_id").alias("sid"), "term", "pos")
+        .orderBy("sid", "pos")
+    )
+
+
 # --------------------------------------- training-data pipeline ops
 
 def q_text_token_stats(spark, sf_dir):
@@ -1320,6 +1339,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
                       oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
     "wand_bm25_batch": (q_wand_bm25_batch, _WAND_BATCH_SQL),
     "charmap_fold": (q_charmap_fold, oracle.charmap_fold_sql()),
+    "charmap_chr": (q_charmap_chr, oracle.charmap_chr_sql()),
     "dedup_simhash_hamming": (
         q_dedup_simhash_hamming, oracle_ml.simhash_near_pairs_sql(32, 4, 3, 500)),
     "seg_scan_limited": (q_seg_scan_limited, _SCAN_LIMITED_SQL),

@@ -100,6 +100,14 @@ def tokenize_array(text: Column, alphabet: str = "ascii") -> Column:
     default keeps [0-9a-z] only — the reference's default charmap and
     the oracle contract.
     """
+    if not isinstance(alphabet, str):
+        # a parsed .chr Charmap (functions/charmap.py): custom value
+        # set, case pairs and map/equivalent replaces — still pure JVM
+        lowered = alphabet.normalize_column(text)
+        regex = alphabet.split_regex
+        arr = F.split(lowered, regex)
+        arr = F.filter(arr, lambda t: t != F.lit(""))
+        return F.transform(arr, lambda t: F.substring(t, 1, MAX_TOKEN_LEN))
     lowered = F.lower(text)
     if alphabet == "fold":
         lowered = fold_column(lowered)

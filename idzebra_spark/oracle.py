@@ -247,6 +247,63 @@ FOLD_DEMO_ROWS = [
     (2, "plain ascii_text 42"),
 ]
 
+# A .chr charmap file body (tab/string.chr syntax) + demo corpus for
+# the charmap_chr entry: entity map lines, diacritic maps, equivalent
+# classes with a (..) multi-char member — every directive form the
+# parser handles (util/charmap.c:743-823 map, :614-668 equivalent).
+CHR_DEMO_SPEC = """
+encoding utf-8
+lowercase {0-9}{a-z}
+uppercase {0-9}{A-Z}
+space {\\001-\\040}!"#$%&'()*+,-./:;?
+map (&eacute;) é
+map é e
+map ü u
+map ß (ss)
+equivalent aä
+equivalent (oe)ø
+"""
+
+CHR_DEMO_ROWS = [
+    (0, "Café &eacute;clair CAFE"),
+    (1, "Grün über Ärger"),
+    (2, "Økonomi for Straße?"),
+    (3, "x9 Ärä päivää"),
+]
+
+
+def charmap_chr_sql() -> str:
+    """.chr-spec tokenization oracle: DuckDB applies the SAME parsed
+    mapping (replace chain in file order, then the value-set split) —
+    the Charmap object itself generates the SQL, so the two engines
+    cannot drift."""
+    from idzebra_spark.functions.charmap import charmap_from_chr
+
+    cm = charmap_from_chr(CHR_DEMO_SPEC)
+    expr = "lower(t)"
+    if cm.case_src:
+        expr = f"translate({expr}, '{cm.case_src}', '{cm.case_dst}')"
+    for src, dst in cm.replaces:
+        expr = f"replace({expr}, '{src}', '{dst}')"
+    import re as _re
+
+    neg = "[^" + _re.escape(cm.value_set) + "]+"
+    vals = ", ".join(f"({i}, '{s}')" for i, s in CHR_DEMO_ROWS)
+    return f"""
+WITH src(sid, t) AS (VALUES {vals}),
+arr AS (
+  SELECT sid,
+         list_transform(
+           list_filter(regexp_split_to_array({expr}, '{neg}'),
+                       x -> x <> ''),
+           x -> x[1:512]) AS a
+  FROM src
+)
+SELECT sid, unnest(a) AS term,
+       CAST(unnest(range(1, len(a) + 1)) AS INT) AS pos
+FROM arr ORDER BY sid ASC, pos ASC
+"""
+
 
 def charmap_fold_sql() -> str:
     """Charmap equivalence folding (alphabet='fold') over a literal

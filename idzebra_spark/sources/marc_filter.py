@@ -55,10 +55,15 @@ def encode_marc(fields: list[tuple[str, str | list[tuple[str, str]]]],
                     + value.encode("utf-8")
             field = bytes(field)
         body += field + bytes([FS])
+        if len(field) + 1 > 9999 or start > 99999:
+            raise ValueError("field exceeds ISO2709 4/5-digit directory "
+                             "widths (record too large)")
         directory += f"{tag:>03s}{len(field) + 1:04d}{start:05d}".encode()
     directory += bytes([FS])
     base = 24 + len(directory)
     total = base + len(body) + 1
+    if total > 99999:
+        raise ValueError("record exceeds ISO2709 5-digit record length")
     leader = (f"{total:05d}{status}am a22{base:05d} a 4500").encode()
     assert len(leader) == 24, len(leader)
     return bytes(leader) + bytes(directory) + bytes(body) + bytes([RS])

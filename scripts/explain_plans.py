@@ -117,6 +117,27 @@ def main() -> None:
         explain_str(lp),
     ))
 
+    from idzebra_spark.sources.xml_filter import xml_corpus
+    xc = xml_corpus(docs)
+    sections.append((
+        "XML record filter (JVM xpath extraction)",
+        "The whole documents→XML→fields round trip is ONE projection "
+        "— entity-escape `replace` chains and `xpath_*` expressions "
+        "all JVM-side, no Python, no shuffle. A record filter at "
+        "100 TB is a map stage, exactly as it should be.",
+        explain_str(xc),
+    ))
+
+    from idzebra_spark.sources.safari_filter import parse_safari, synth_safari
+    sp = parse_safari(synth_safari(docs))
+    sections.append((
+        "Safari filter (pre-tokenized posting stream)",
+        "Line split + posexplode + one regexp per line, all "
+        "whole-stage codegen; the parsed stream feeds "
+        "build_index(pretokenized=True) with no tokenizer anywhere.",
+        explain_str(sp),
+    ))
+
     from idzebra_spark.operators.dedup import minhash_lsh_pairs
     dd = minhash_lsh_pairs(docs, threshold=0.5)
     sections.append((

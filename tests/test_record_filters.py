@@ -104,6 +104,11 @@ def test_marc_rejects_malformed():
         parse_marc_record(bytes(bad))
 
 
+def test_marc_rejects_oversized_record():
+    with pytest.raises(ValueError):
+        encode_marc([("520", [("a", "x" * 10_000)])])
+
+
 def test_marc_leader_declared_widths():
     """Parser honors leader bytes 20/21 (directory widths) like
     grs_read_iso2709 (mod_grs_marc.c:142-150), not MARC21 defaults."""
