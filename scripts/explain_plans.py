@@ -159,11 +159,17 @@ def main() -> None:
     print("wrote PLANS.md")
 
     # quick grep-style assertions, printed for the log
-    blk_plan = sections[0][2]
+    by_title = {t: p for t, _, p in sections}
+    blk_plan = by_title["Posting-block scan for query terms"]
     print("blocks PushedFilters present:", "PushedFilters: [" in blk_plan)
-    bf_plan = sections[2][2]
+    bf_plan = by_title["Brute-force BM25 plan"]
     print("bruteforce TakeOrdered:", "TakeOrderedAndProject" in bf_plan)
-    print("bruteforce codegen spans:", bf_plan.count("codegen id"))
+    print("bruteforce broadcasts stats/df dims:",
+          "BroadcastHashJoin" in bf_plan)
+    xml_plan = by_title["XML record filter (JVM xpath extraction)"]
+    print("xml filter shuffle-free:", "Exchange" not in xml_plan)
+    lsh_plan = by_title["Indexed LSH ANN probe (partition pruning)"]
+    print("lsh PartitionFilters:", "PartitionFilters" in lsh_plan)
 
 
 if __name__ == "__main__":
