@@ -160,16 +160,11 @@ class ZebraSpark:
         did at index time ('café' queries the 'cafe' register) —
         Zebra maps the query term through the charmap before the dict
         lookup (/root/reference/index/rpnsearch.c:1269-1272)."""
-        if self._alphabet == "fold":
-            from idzebra_spark.functions.tokenizer import fold_str
-        elif not isinstance(self._alphabet, str):
-            fold_str = self._alphabet.fold_str  # parsed .chr Charmap
-        else:
+        if self._alphabet == "ascii" or self._alphabet == "unicode":
             return node
-
         if node.op in ("term", "prefix", "phrase") and isinstance(
                 node.value, str):
-            node.value = fold_str(node.value)
+            node.value = self._fold_term(node.value)
         for c in node.children:
             self._fold_node(c)
         return node
@@ -234,29 +229,41 @@ class ZebraSpark:
             return self.index.count(flat[1], flat[0])
         return self.index.eval_tree(q.root.to_rset_tree()).count()
 
+    def _fold_term(self, s: str) -> str:
+        """Charmap-normalize one raw term (the per-string twin of
+        _fold_node) — every query surface must map its terms through
+        the index's charmap before the dictionary lookup."""
+        if self._alphabet == "fold":
+            from idzebra_spark.functions.tokenizer import fold_str
+
+            return fold_str(s)
+        if not isinstance(self._alphabet, str):
+            return self._alphabet.fold_str(s)
+        return s
+
     def phrase(self, terms: list[str], k: int = 10) -> DataFrame:
-        return self.index.phrase(terms, k)
+        return self.index.phrase([self._fold_term(t) for t in terms], k)
 
     def scan(self, seed: str, n_after: int = 10, n_before: int = 0,
-             limit_query: str | None = None) -> DataFrame:
+             limit_query: str | None = None,
+             field: "str | list[str] | None" = None) -> DataFrame:
         """Dictionary browse around a seed — zebra_scan
         (/root/reference/index/rpnscan.c:285-480), served by the
         segment dictionary (no corpus scan). ``limit_query``: optional
         limiting result set (rpnscan.c:200-283) — per-term counts are
-        restricted to its hits and zero-count terms are skipped."""
-        if self._alphabet == "fold":
-            from idzebra_spark.functions.tokenizer import fold_str
-
-            seed = fold_str(seed)
-        elif not isinstance(self._alphabet, str):
-            seed = self._alphabet.fold_str(seed)
+        restricted to its hits and zero-count terms are skipped.
+        ``field``: browse that field's register instead of the body
+        text (@attr 1=N scan scoping); a LIST merges several
+        registers by term with summed counts (rpn_scan's parallel
+        multi-ordinal scan)."""
+        seed = self._fold_term(seed)
         limit_set = None
         if limit_query is not None:
             q = parse(limit_query)
             self._fold_node(q.root)
             limit_set = self.index.eval_tree(q.root.to_rset_tree())
         return self.index.scan(seed, n_after, n_before,
-                               limit_set=limit_set)
+                               limit_set=limit_set, field=field)
 
     def sort_by_multivalue(self, query: str, pick: str = "min",
                            ascending: bool = True, k: int = 10) -> DataFrame:
@@ -266,7 +273,8 @@ class ZebraSpark:
         Here the multi-valued field is the doc's token set (the index
         register itself); ``pick`` chooses min or max. Returns
         (doc_id, sort_key) ordered by the picked key."""
-        hits = self.index.eval_tree(parse(query).root.to_rset_tree())
+        hits = self.index.eval_tree(
+            self._fold_node(parse(query).root).to_rset_tree())
         agg = (F.min("term") if pick == "min" else F.max("term"))
         # per-doc key from the corpus tokens (record store read scoped
         # to the hit set — the sort input is |hits| rows)
@@ -286,7 +294,8 @@ class ZebraSpark:
         """Facet counts over a hit set (retrieve.c:698-840) — hits come
         from the segment engine; the corpus is touched only for the
         facet column, via a semi-join (column-pruned scan)."""
-        hits = self.index.eval_tree(parse(query).root.to_rset_tree())
+        hits = self.index.eval_tree(
+            self._fold_node(parse(query).root).to_rset_tree())
         src = self._require_corpus().select(
             F.col(self.id_col).alias("doc_id"), F.col(facet_col)
         )
@@ -366,6 +375,7 @@ class ZebraSpark:
         pos_bin; the corpus is read only for the matched docs' text."""
         from idzebra_spark.functions.tokenizer import tokenize_array
 
+        term = self._fold_term(term)
         fp = (
             self.index.term_postings([term], with_positions=True)
             .select("doc_id", F.element_at("positions", 1).alias("pos"))

@@ -105,19 +105,23 @@ class Charmap:
         return "[^" + re.escape(self.value_set) + "]+"
 
     def normalize_column(self, col: Column) -> Column:
-        """Case-fold + apply mappings, all JVM expressions."""
-        col = F.lower(col)
+        """Case-fold + apply mappings, all JVM expressions. The
+        spec's parallel-position case pairs run BEFORE the generic
+        lower(): pairs whose uppercase form lower() would mangle
+        (e.g. İ → 'i'+combining-dot in java.lang) must see the
+        original character."""
         if self.case_src:
             col = F.translate(col, self.case_src, self.case_dst)
+        col = F.lower(col)
         for src, dst in self.replaces:
             col = F.replace(col, F.lit(src), F.lit(dst))
         return col
 
     def fold_str(self, s: str) -> str:
         """Driver-side twin — normalize a query term identically."""
-        s = s.lower()
         if self.case_src:
             s = s.translate(str.maketrans(self.case_src, self.case_dst))
+        s = s.lower()
         for src, dst in self.replaces:
             s = s.replace(src, dst)
         return s

@@ -35,19 +35,31 @@ def _widen(df: DataFrame) -> DataFrame:
     repartition is a cheap raw-doc shuffle; skipped when the input is
     already wide (the 100 TB case).
 
-    Width is probed via ``inputFiles()`` (source metadata — no
-    DataFrame→RDD conversion, which would add a deserialization
-    boundary to the plan just to read a partition count). Non-file
-    sources report zero files and are widened; repartitioning an
-    in-memory test frame is noise-cheap."""
+    Width is probed without a DataFrame→RDD conversion (which would
+    add a deserialization boundary to the plan just to read a
+    partition count): file-backed sources via ``inputFiles()`` (widen
+    when the file count is low), non-file sources via the physical
+    plan — an upstream Exchange means the frame is already at shuffle
+    parallelism and another full shuffle of raw docs would be pure
+    waste; only narrow in-memory frames (local relations, tests) get
+    widened. Known blind spot: an explicit ``coalesce(1)`` over a
+    many-file source reports many files and is not re-widened."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
-    if n_files < max(2, target // 2):
-        return df.repartition(target)
-    return df
+    if n_files > 0:
+        if n_files < max(2, target // 2):
+            return df.repartition(target)
+        return df
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan or "ShuffleQueryStage" in plan:
+            return df  # already shuffle-wide
+    except Exception:
+        pass
+    return df.repartition(target)
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
@@ -321,6 +333,11 @@ def simhash_near_pairs(df: DataFrame, n_bits: int = 32, n_bands: int = 4,
     Returns (doc_a, doc_b, hamming), doc_a < doc_b."""
     if n_bits % n_bands:
         raise ValueError("n_bits must be divisible by n_bands")
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_bands > max_hamming "
+            f"(got {n_bands}): with one differing bit per band no band "
+            "key matches and the pigeonhole recall guarantee is void")
     band_bits = n_bits // n_bands
     mask = (1 << band_bits) - 1
     sims = simhash(df, n_bits, text_col, id_col).cache()

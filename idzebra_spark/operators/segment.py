@@ -334,8 +334,14 @@ def build_index(
     doclen/norms become the per-doc posting count, the per-row content
     invariant hashes the sorted (field, term, pos) stream, and a
     non-null ``field`` value yields the same composite
-    ``field\\x1fterm`` dictionary key as ``fields=``. Mutually
-    exclusive with ``fields=``.
+    ``field\\x1fterm`` dictionary key as ``fields=`` (and, like the
+    text path, does NOT count toward doclen — only body postings do).
+    Mutually exclusive with ``fields=``. Caveat: a document with ZERO
+    postings in the stream is invisible to the build (no norms row, so
+    it is not counted in N/avgdl), whereas a text build gives an
+    empty-text doc a doclen-0 row — a safari producer that wants such
+    docs ranked must emit at least one posting for them, exactly as
+    Zebra only knows records whose extract emitted keys.
 
     Returns build metrics for the batch.
     """
@@ -410,11 +416,14 @@ def build_index(
 
     # doc_meta: per-row sha256 invariant + doclen — ONE scan, no join
     if pretokenized:
-        # doclen = per-doc posting count; the invariant hashes the
-        # sorted (field, term, pos) stream so ANY posting edit is a
-        # content change to the update-diff
+        # doclen = per-doc count of BODY postings (null/empty field) —
+        # fielded postings don't inflate BM25 norms, matching the text
+        # path where fields=... keys never count toward doclen. The
+        # invariant hashes the sorted (field, term, pos) stream so ANY
+        # posting edit is a content change to the update-diff.
         meta = src.groupBy("shard", "doc_id").agg(
-            F.count("*").alias("doclen"),
+            F.count(F.when(F.col("field").isNull()
+                           | (F.col("field") == ""), 1)).alias("doclen"),
             F.sha2(
                 F.concat_ws(
                     " ",

@@ -1089,7 +1089,8 @@ class SegmentIndex:
     MAX_EXPAND = 10000  # truncation fan-out bound (dict grep limit)
 
     def scan(self, seed: str, n_after: int = 10, n_before: int = 0,
-             limit_set: DataFrame | None = None) -> DataFrame:
+             limit_set: DataFrame | None = None,
+             field: "str | list[str] | None" = None) -> DataFrame:
         """Dictionary browse around a seed term — zebra_scan. Without
         ``limit_set`` it is served purely by the merged dictionary
         (no posting decode). With a limiting result set
@@ -1102,38 +1103,74 @@ class SegmentIndex:
         limit set (posting scan pruned to the candidates + semi-join),
         and DOUBLE the candidate window until enough nonzero terms
         exist on both sides or the dictionary is exhausted — a few
-        driver round trips, each metadata-sized."""
-        seed = seed.lower()
-        d = self.dictionary().select("term", F.col("df").cast("long")
-                                     .alias("df"))
+        Browse is scoped to ONE OR MORE registers like ``expand``: the
+        body text by default (composite ``field\\x1fterm`` keys
+        excluded — on a fielded index 'lang\\x1fen' sorts before
+        'merge' and would otherwise pollute the before-window), one
+        field's register via ``field='name'``, or SEVERAL via
+        ``field=[...]`` — rpn_scan's parallel multi-ordinal scan
+        merged by term (rpnscan.c:285-480): the same display term
+        appearing in several registers shows once with summed df."""
+        seed = seed.lower().split("\x1f")[-1]
+        from idzebra_spark.operators.boolean import FIELD_SEP
+
+        full = self.dictionary().select("term", F.col("df").cast("long")
+                                        .alias("df"))
+        fields = ([field] if isinstance(field, str) else field) or []
+        if not fields:
+            # (display term, composite key) per register; body keys
+            # are their own display form
+            d = full.where(~F.col("term").contains(FIELD_SEP)) \
+                .select("term", F.col("term").alias("key"), "df")
+        else:
+            parts = []
+            for f in fields:
+                pfx = f + FIELD_SEP
+                parts.append(
+                    full.where(F.col("term").startswith(pfx)).select(
+                        F.expr(f"substring(term, {len(pfx) + 1})")
+                        .alias("term"),
+                        F.col("term").alias("key"), "df"))
+            from functools import reduce
+
+            d = reduce(lambda a, b: a.unionByName(b), parts)
+        merged = d.groupBy("term").agg(F.sum("df").alias("df"))
+
         if limit_set is None:
-            after = (d.where(F.col("term") >= seed)
+            after = (merged.where(F.col("term") >= seed)
                      .orderBy(F.asc("term")).limit(n_after))
             if n_before <= 0:
                 return after
-            before = (d.where(F.col("term") < seed)
+            before = (merged.where(F.col("term") < seed)
                       .orderBy(F.desc("term")).limit(n_before))
             return before.unionByName(after).orderBy(F.asc("term"))
 
         lim = limit_set.select("doc_id").distinct()
+        strip_expr = (F.col("term") if not fields else
+                      F.element_at(F.split("term", FIELD_SEP), -1))
         factor = 4
         while True:
             cand_after = [
-                r["term"] for r in d.where(F.col("term") >= seed)
+                r["term"] for r in merged.where(F.col("term") >= seed)
                 .orderBy(F.asc("term")).limit(factor * n_after).collect()
             ]
             cand_before = [
-                r["term"] for r in d.where(F.col("term") < seed)
+                r["term"] for r in merged.where(F.col("term") < seed)
                 .orderBy(F.desc("term")).limit(factor * n_before).collect()
             ] if n_before > 0 else []
             cand = cand_after + cand_before
             if not cand:
                 return self.spark.createDataFrame([], "term string, df long")
+            keys = [r["key"] for r in
+                    d.where(F.col("term").isin(cand)).collect()]
             counts = (
-                self.term_postings(cand, with_positions=False)
+                self.term_postings(keys, with_positions=False)
                 .join(lim, "doc_id", "semi")
-                .groupBy("term")
+                .groupBy("term")  # per composite key first...
                 .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+                .select(strip_expr.alias("term"), "df")
+                .groupBy("term")  # ...then merged per display term,
+                .agg(F.sum("df").alias("df"))  # as the df-sum display
                 .collect()
             )
             by_term = {r["term"]: r["df"] for r in counts}

@@ -280,9 +280,10 @@ def charmap_chr_sql() -> str:
     from idzebra_spark.functions.charmap import charmap_from_chr
 
     cm = charmap_from_chr(CHR_DEMO_SPEC)
-    expr = "lower(t)"
-    if cm.case_src:
+    expr = "t"
+    if cm.case_src:  # case pairs BEFORE lower(), as normalize_column
         expr = f"translate({expr}, '{cm.case_src}', '{cm.case_dst}')"
+    expr = f"lower({expr})"
     for src, dst in cm.replaces:
         expr = f"replace({expr}, '{src}', '{dst}')"
     import re as _re
