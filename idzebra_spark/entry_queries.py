@@ -325,6 +325,17 @@ def q_charmap_fold(spark, sf_dir):
     )
 
 
+def q_sim_cosine_q8(spark, sf_dir):
+    """Brute cosine top-k over int8-QUANTIZED embeddings — the 4×
+    memory cut for a 100-TB embedding store. Scales cancel out of the
+    cosine, so the kernel is integer dot products: associative →
+    cross-engine parity is structural, not summation-order luck."""
+    from idzebra_spark.operators.similarity import cosine_topk_q8
+
+    emb, qv = _query_vec(spark, sf_dir, 0)
+    return cosine_topk_q8(emb, qv, k=10, exclude_id=0)
+
+
 def q_charmap_chr(spark, sf_dir):
     """Full .chr charmap-FILE support (tab/string.chr syntax →
     util/charmap.c:743-823): the demo spec exercises every directive
@@ -368,6 +379,22 @@ def q_text_fingerprint(spark, sf_dir):
     from idzebra_spark.operators.textops import fingerprint
 
     return fingerprint(_docs(spark, sf_dir)).orderBy("doc_id").limit(200)
+
+
+def q_dedup_contamination(spark, sf_dir):
+    """Train/test n-gram contamination (decontamination pass): test
+    docs = doc_id % 5 == 0, train = the rest; 5-gram containment ≥
+    0.3 flags leakage. The containment metric is asymmetric by design
+    — a test doc fully quoted in a longer train doc scores 1.0."""
+    from idzebra_spark.operators.dedup import cross_contamination
+
+    docs = _docs(spark, sf_dir)
+    test = docs.where(F.col("doc_id") % 5 == 0)
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    return (
+        cross_contamination(test, train, n=5, threshold=0.3)
+        .orderBy("test_id", "train_id").limit(500)
+    )
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -1342,6 +1369,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "charmap_chr": (q_charmap_chr, oracle.charmap_chr_sql()),
     "dedup_simhash_hamming": (
         q_dedup_simhash_hamming, oracle_ml.simhash_near_pairs_sql(32, 4, 3, 500)),
+    "dedup_contamination": (
+        q_dedup_contamination, oracle_ml.contamination_sql(5, 0.3, 5, 500)),
+    "sim_cosine_q8": (q_sim_cosine_q8, oracle_ml.cosine_topk_q8_sql(0, 10)),
     "seg_scan_limited": (q_seg_scan_limited, _SCAN_LIMITED_SQL),
     "regex_fuzzy": (q_regex_fuzzy, _REGEX_FUZZY_SQL),
     "sort_multivalue": (q_sort_multivalue, _SORT_MULTI_SQL),

@@ -273,6 +273,54 @@ def verify_candidate_pairs(df: DataFrame, cand: DataFrame, n: int = 3,
     return _jaccard_filter(inter, sh_c, threshold)
 
 
+def cross_contamination(test: DataFrame, train: DataFrame, n: int = 5,
+                        threshold: float = 0.3,
+                        max_shingle_df: int | None = None,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Train→test n-gram contamination (the decontamination pass a
+    training pipeline runs before eval): for every test doc, the train
+    docs sharing word n-grams, scored by CONTAINMENT
+    |shingles(test) ∩ shingles(train)| / |shingles(test)| — the
+    standard leakage metric (asymmetric on purpose: a short test doc
+    fully quoted inside a long train doc must score 1.0, which Jaccard
+    would dilute).
+
+    Returns (test_id, train_id, n_shared, contain_milli) with
+    containment ≥ threshold.
+
+    Scale shape: one shingle-equality join (shuffle on shingle); with
+    word n-grams of n ≥ 5 shared shingles are rare, so the join
+    fan-out is small. ``max_shingle_df`` drops boilerplate shingles
+    seen in more than that many TRAIN docs before the join (license
+    headers, generated preambles) — the skew cap for the 100-TB run;
+    leave None for the exact form the oracle mirrors."""
+    sht = (shingles(test, n, text_col, id_col)
+           .withColumnRenamed("doc_id", "test_id"))
+    shr = (shingles(train, n, text_col, id_col)
+           .withColumnRenamed("doc_id", "train_id"))
+    if max_shingle_df is not None:
+        hot = (shr.groupBy("shingle")
+               .agg(F.count("*").alias("df"))
+               .where(F.col("df") > max_shingle_df)
+               .select("shingle"))
+        shr = shr.join(hot, "shingle", "left_anti")
+    inter = (
+        sht.join(shr, "shingle")
+        .groupBy("test_id", "train_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sizes = sht.groupBy("test_id").agg(F.count("*").alias("n_sh"))
+    return (
+        inter.join(sizes, "test_id")
+        .withColumn("contain", F.col("n_shared") / F.col("n_sh"))
+        .where(F.col("contain") >= threshold)
+        .select("test_id", "train_id", "n_shared",
+                F.round(F.col("contain") * 10000, 0).cast("long")
+                .alias("contain_milli"))
+    )
+
+
 def simhash(df: DataFrame, n_bits: int = 32, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """Tf-weighted SimHash over index tokens: bit k set iff

@@ -54,6 +54,62 @@ def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     return out.orderBy(F.desc("sim_micro"), F.asc("vec_id")).limit(k)
 
 
+def quantize_embeddings(emb: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Symmetric int8 quantization: per-vector ``scale = max|x|/127``,
+    codes ``floor(x/scale + 0.5)`` (|code| ≤ 127 by construction) —
+    the 4× memory cut for a 100-TB embedding store. ``floor(+0.5)``
+    is used instead of round() because its half-way behavior is
+    identical across engines (round() half-even vs half-up differs).
+    Returns (vec_id, qvec array<int>, scale)."""
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.aggregate(v, F.lit(0.0),
+                       lambda a, x: F.greatest(a, F.abs(x)))
+    scale = F.when(amax == 0, F.lit(1.0)).otherwise(amax / F.lit(127.0))
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5))
+                    .cast("int")).alias("qvec"),
+        scale.alias("scale"),
+    )
+
+
+def cosine_topk_q8(emb: DataFrame, query_vec: list[float], k: int = 10,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   exclude_id: int | None = None) -> DataFrame:
+    """Brute-force cosine top-k over int8-QUANTIZED codes:
+    (vec_id, sim_micro). The per-vector scales cancel out of the
+    cosine, so the whole kernel is integer dot products — which are
+    associative, making cross-engine result parity STRUCTURAL (the
+    float-fold cosine_topk oracle relies on summation order).
+    Quantization noise bounds the sim error at ~1/127 per component —
+    the recall pytest pins the top-k overlap vs the exact kernel."""
+    import math
+
+    qemb = quantize_embeddings(emb, vec_col, id_col)
+    amax = max((abs(float(x)) for x in query_vec), default=0.0)
+    s = (amax / 127.0) or 1.0
+    qq = [int(math.floor(float(x) / s + 0.5)) for x in query_vec]
+    qcol = F.array(*[F.lit(i).cast("long") for i in qq])
+    codes = F.col("qvec").cast("array<long>")
+    dot = F.aggregate(F.zip_with(codes, qcol, lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda a, v: a + v)
+    aa = F.aggregate(codes, F.lit(0).cast("long"),
+                     lambda a, v: a + v * v)
+    bb = float(sum(i * i for i in qq)) or 1.0
+    sim = F.when(
+        aa > 0,
+        F.round(dot.cast("double")
+                / (F.sqrt(aa.cast("double")) * F.lit(math.sqrt(bb)))
+                * 1000000, 0).cast("long"),
+    )  # all-zero vectors have no direction — dropped, not NaN-ranked
+    out = qemb.select("vec_id", sim.alias("sim_micro")) \
+        .where(F.col("sim_micro").isNotNull())
+    if exclude_id is not None:
+        out = out.where(F.col("vec_id") != exclude_id)
+    return out.orderBy(F.desc("sim_micro"), F.asc("vec_id")).limit(k)
+
+
 def plane_weight(p: int, d: int) -> float:
     """Deterministic pseudo-random weight in [-1000, 1000] from md5 —
     computed driver-side (hashlib md5 == Spark md5 == DuckDB md5 on

@@ -111,6 +111,76 @@ ORDER BY sha256 ASC
 """
 
 
+def cosine_topk_q8_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    """Quantized-cosine oracle: the SAME int8 rule (scale=max|x|/127,
+    floor(x/scale+0.5)) then INTEGER dot products — associative, so
+    parity with the Spark fold is structural, not order-dependent."""
+    code = ("list_transform({v}, x -> CAST(floor("
+            "x / (CASE WHEN amax{t} = 0 THEN 1.0 ELSE amax{t}/127.0 END)"
+            " + 0.5) AS BIGINT))")
+    return f"""
+WITH q0 AS (
+  SELECT embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id = {query_vec_id}
+),
+q AS (
+  SELECT {code.format(v='v', t='q')} AS qc
+  FROM (SELECT v, list_max(list_transform(v, x -> abs(x))) AS amaxq
+        FROM q0)
+),
+e AS (
+  SELECT vec_id, {code.format(v='v', t='e')} AS ec
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_max(list_transform(embedding::DOUBLE[],
+                                       x -> abs(x))) AS amaxe
+        FROM embeddings WHERE vec_id <> {query_vec_id})
+),
+parts AS (
+  SELECT e.vec_id, unnest(e.ec) AS x, unnest(q.qc) AS y
+  FROM e CROSS JOIN q
+),
+sims AS (
+  SELECT vec_id,
+         sum(x * y)::DOUBLE
+         / (sqrt(sum(x * x)::DOUBLE) * sqrt((SELECT sum(y * y)::DOUBLE
+             FROM (SELECT unnest(qc) AS y FROM q)))) AS sim
+  FROM parts GROUP BY vec_id HAVING sum(x * x) > 0
+)
+SELECT vec_id, CAST(round(sim * 1000000) AS BIGINT) AS sim_micro
+FROM sims ORDER BY sim_micro DESC, vec_id ASC LIMIT {k}
+"""
+
+
+def contamination_sql(n: int = 5, threshold: float = 0.3,
+                      mod: int = 5, limit: int = 500) -> str:
+    """Train→test containment oracle: test = doc_id % mod == 0, train
+    = the rest; word n-grams; containment = shared / test-shingles."""
+    return f"""
+WITH base AS (SELECT doc_id, {_ARR} AS arr FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, greatest(len(arr) - {n - 1}, 0) + 1),
+                          i -> array_to_string(arr[i:i+{n - 1}], ' ')))
+    AS shingle
+  FROM base
+),
+sht AS (SELECT doc_id AS test_id, shingle FROM sh
+        WHERE doc_id % {mod} = 0),
+shr AS (SELECT doc_id AS train_id, shingle FROM sh
+        WHERE doc_id % {mod} <> 0),
+inter AS (
+  SELECT test_id, train_id, count(*) AS n_shared
+  FROM sht JOIN shr USING (shingle) GROUP BY test_id, train_id
+),
+sizes AS (SELECT test_id, count(*) AS n_sh FROM sht GROUP BY test_id)
+SELECT test_id, train_id, n_shared,
+       CAST(round(n_shared / n_sh * 10000) AS BIGINT) AS contain_milli
+FROM inter JOIN sizes USING (test_id)
+WHERE n_shared / n_sh >= {threshold}
+ORDER BY test_id ASC, train_id ASC LIMIT {limit}
+"""
+
+
 _SHINGLES = f"""
 sh AS (
   SELECT DISTINCT doc_id,

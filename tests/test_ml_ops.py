@@ -155,3 +155,61 @@ def test_kmeans_deterministic_and_ivf_recall(spark, sf_dir):
     approx = {r.vec_id for r in
               ivf_topk(relab, qv, 10, n_probe=3, exclude_id=0).collect()}
     assert len(exact & approx) >= 3
+
+
+def test_quantized_cosine_recall_and_scale_bound(spark, sf_dir):
+    """int8-quantized cosine: top-k closely tracks the exact kernel
+    (quantization noise ~1/127 per component) and codes stay in
+    [-127, 127]."""
+    from idzebra_spark.operators.similarity import (
+        cosine_topk, cosine_topk_q8, quantize_embeddings)
+
+    emb, qv = _qv(spark, sf_dir)
+    exact = [r.vec_id for r in
+             cosine_topk(emb, qv, 10, exclude_id=0).collect()]
+    quant = [r.vec_id for r in
+             cosine_topk_q8(emb, qv, 10, exclude_id=0).collect()]
+    assert len(set(exact) & set(quant)) >= 8
+    q = quantize_embeddings(emb)
+    mx = q.select(
+        F.max(F.aggregate(F.transform("qvec", lambda x: F.abs(x)),
+                          F.lit(0),
+                          lambda a, x: F.greatest(a, x))).alias("m")
+    ).collect()[0].m
+    assert mx <= 127
+    # zero vector: dropped, not NaN-ranked
+    zrow = spark.createDataFrame(
+        [(999, [0.0] * len(qv))], "vec_id long, embedding array<double>")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>")
+                      .alias("embedding"))
+    out = cosine_topk_q8(base.unionByName(zrow), qv, 1000, exclude_id=0)
+    assert 999 not in {r.vec_id for r in out.collect()}
+
+
+def test_cross_contamination_semantics(spark):
+    """Full quote of a test doc inside a longer train doc scores
+    containment 1.0; the boilerplate df cap drops ubiquitous
+    shingles."""
+    from idzebra_spark.operators.dedup import cross_contamination
+
+    test = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [(100, "intro words alpha beta gamma delta epsilon zeta outro"),
+         (101, "unrelated text about other things entirely here")],
+        ["doc_id", "text"])
+    out = {(r.test_id, r.train_id): r.contain_milli for r in
+           cross_contamination(test, train, n=3, threshold=0.5).collect()}
+    assert out == {(1, 100): 10000}
+    # cap: a shingle present in > max_shingle_df train docs is dropped
+    boiler = [(200 + i, "licensed under apache terms " + f"u{i} v{i} w{i}")
+              for i in range(5)]
+    train2 = spark.createDataFrame(boiler, ["doc_id", "text"])
+    test2 = spark.createDataFrame(
+        [(2, "licensed under apache terms")], ["doc_id", "text"])
+    full = cross_contamination(test2, train2, n=3, threshold=0.1)
+    assert full.count() == 5
+    capped = cross_contamination(test2, train2, n=3, threshold=0.1,
+                                 max_shingle_df=3)
+    assert capped.count() == 0
