@@ -296,10 +296,11 @@ def cross_contamination(test: DataFrame, train: DataFrame, n: int = 5,
     headers, generated preambles) — the skew cap for the 100-TB run;
     leave None for the exact form the oracle mirrors."""
     sht = (shingles(test, n, text_col, id_col)
-           .withColumnRenamed("doc_id", "test_id"))
+           .withColumnRenamed("doc_id", "test_id").cache())
     shr = (shingles(train, n, text_col, id_col)
            .withColumnRenamed("doc_id", "train_id"))
     if max_shingle_df is not None:
+        shr = shr.cache()
         hot = (shr.groupBy("shingle")
                .agg(F.count("*").alias("df"))
                .where(F.col("df") > max_shingle_df)

@@ -65,12 +65,21 @@ def quantize_embeddings(emb: DataFrame, vec_col: str = "embedding",
     v = F.col(vec_col).cast("array<double>")
     amax = F.aggregate(v, F.lit(0.0),
                        lambda a, x: F.greatest(a, F.abs(x)))
-    scale = F.when(amax == 0, F.lit(1.0)).otherwise(amax / F.lit(127.0))
-    return emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5))
-                    .cast("int")).alias("qvec"),
-        scale.alias("scale"),
+    # projection boundary: HOF lambdas are interpreted (no codegen
+    # CSE) — inlining the amax fold inside the per-element transform
+    # would re-run it per component, O(dim^2)/row. Materialize scale
+    # first, then code against the column.
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), v.alias("_v"),
+        F.when(amax == 0, F.lit(1.0)).otherwise(amax / F.lit(127.0))
+        .alias("scale"),
+    )
+    return base.select(
+        "vec_id",
+        F.transform("_v", lambda x: F.floor(x / F.col("scale")
+                                            + F.lit(0.5)).cast("int"))
+        .alias("qvec"),
+        "scale",
     )
 
 

@@ -142,7 +142,9 @@ parts AS (
 sims AS (
   SELECT vec_id,
          sum(x * y)::DOUBLE
-         / (sqrt(sum(x * x)::DOUBLE) * sqrt((SELECT sum(y * y)::DOUBLE
+         / (sqrt(sum(x * x)::DOUBLE) * sqrt((SELECT CASE
+             WHEN sum(y * y) = 0 THEN 1.0
+             ELSE sum(y * y)::DOUBLE END
              FROM (SELECT unnest(qc) AS y FROM q)))) AS sim
   FROM parts GROUP BY vec_id HAVING sum(x * x) > 0
 )
@@ -156,14 +158,7 @@ def contamination_sql(n: int = 5, threshold: float = 0.3,
     """Train→test containment oracle: test = doc_id % mod == 0, train
     = the rest; word n-grams; containment = shared / test-shingles."""
     return f"""
-WITH base AS (SELECT doc_id, {_ARR} AS arr FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id,
-    unnest(list_transform(range(1, greatest(len(arr) - {n - 1}, 0) + 1),
-                          i -> array_to_string(arr[i:i+{n - 1}], ' ')))
-    AS shingle
-  FROM base
-),
+WITH {_shingles_cte(n)},
 sht AS (SELECT doc_id AS test_id, shingle FROM sh
         WHERE doc_id % {mod} = 0),
 shr AS (SELECT doc_id AS train_id, shingle FROM sh
@@ -181,14 +176,22 @@ ORDER BY test_id ASC, train_id ASC LIMIT {limit}
 """
 
 
-_SHINGLES = f"""
+def _shingles_cte(n: int = 3) -> str:
+    """CTE ``sh(doc_id, shingle)``: distinct word n-grams over the
+    documents table — the ONE SQL shingle definition (DuckDB slices
+    are inclusive: arr[i:i+n-1] is n elements)."""
+    return f"""
 sh AS (
   SELECT DISTINCT doc_id,
-    unnest(list_transform(range(1, greatest(len(arr) - 2, 0) + 1),
-                          i -> array_to_string(arr[i:i+2], ' '))) AS shingle
+    unnest(list_transform(range(1, greatest(len(arr) - {n - 1}, 0) + 1),
+                          i -> array_to_string(arr[i:i+{n - 1}], ' ')))
+    AS shingle
   FROM (SELECT doc_id, {_ARR} AS arr FROM documents)
 )
 """
+
+
+_SHINGLES = _shingles_cte(3)
 
 _JACC = f"""
 {_SHINGLES},
