@@ -188,6 +188,27 @@ def main() -> None:
 
     _lsh()
 
+    def _contamination():
+        from pyspark.sql import functions as F
+
+        from idzebra_spark.operators.dedup import cross_contamination
+        test = docs.where(F.col("doc_id") % 5 == 0)
+        train = docs.where(F.col("doc_id") % 5 != 0)
+        cross_contamination(test, train, n=5, threshold=0.3).collect()
+
+    run("q_dedup_contamination", _contamination)
+
+    def _cosine_q8():
+        from pyspark.sql import functions as F
+
+        from idzebra_spark.operators.similarity import cosine_topk_q8
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qv = [float(x) for x in
+              emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        cosine_topk_q8(emb, qv, 10, exclude_id=0).collect()
+
+    run("q_sim_cosine_q8", _cosine_q8)
+
     total = time.perf_counter() - t_all
     out = {
         "metric": "index-build + BM25 top-k latency (segment WAND engine)",
