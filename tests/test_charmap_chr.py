@@ -143,6 +143,27 @@ def test_scan_multi_ordinal_merge(spark, tmp_path):
     assert lim == [("blue", 1), ("green", 1)]
 
 
+def test_charmap_incremental_update(spark, tmp_path):
+    """The update path threads a Charmap object end-to-end: changed
+    and new accented docs index through the same fold as the build."""
+    from idzebra_spark.api import ZebraSpark
+
+    cm = charmap_from_chr(CHR_DEMO_SPEC)
+    corpus = spark.createDataFrame(
+        [(0, "Café merge sort"), (1, "cafe scan"), (2, "plain text")],
+        ["doc_id", "text"])
+    z = ZebraSpark(spark, str(tmp_path / "uidx"), corpus=corpus)
+    z.build(corpus, shard_size=8, block_size=8, alphabet=cm)
+    corpus2 = spark.createDataFrame(
+        [(0, "Café merge sort"), (1, "cafe scan"),
+         (2, "CAFÉ now here"), (3, "Économie text")],
+        ["doc_id", "text"])
+    z.update(corpus2, alphabet=cm)
+    z._corpus = corpus2
+    assert {r.doc_id for r in z.search("café", 10).collect()} == {0, 1, 2}
+    assert {r.doc_id for r in z.search("economie", 10).collect()} == {3}
+
+
 def test_charmap_is_frozen_value():
     cm = Charmap("abc")
     with pytest.raises(Exception):
