@@ -500,6 +500,29 @@ def q_sim_ivf_kmeans(spark, sf_dir):
     return ivf_topk(relabeled, qv, k=10, n_probe=3, exclude_id=0)
 
 
+def q_sim_ivf_indexed(spark, sf_dir):
+    """PERSISTED IVF index probe — the scale path: vectors live in
+    label-partitioned parquet (one directory per cluster), centroids
+    in a k-row table computed once at build. The probe reads ONLY the
+    probed clusters' partitions (PartitionFilters pruning, the IVF
+    twin of build_lsh_index). Deterministic k-means labels make the
+    result identical to the live `sim_ivf_kmeans` path, so the same
+    unrolled-Lloyd oracle applies."""
+    import tempfile
+
+    from idzebra_spark.operators.similarity import (
+        build_ivf_index, ivf_topk_indexed)
+
+    emb, qv = _query_vec(spark, sf_dir, 0)
+    key = sf_dir + "#ivf"
+    if key not in _LSH_CACHE:
+        path = tempfile.mkdtemp(prefix="idzebra_ivf_") + "/ivf"
+        build_ivf_index(emb, path, k=8, n_iter=3)
+        _LSH_CACHE[key] = path
+    return ivf_topk_indexed(spark, _LSH_CACHE[key], qv, k=10,
+                            n_probe=3, exclude_id=0)
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs: LSH-bucket candidates, exact
     cosine verify — the vector-space dedup op of the pipeline brief."""
@@ -1372,6 +1395,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_contamination": (
         q_dedup_contamination, oracle_ml.contamination_sql(5, 0.3, 5, 500)),
     "sim_cosine_q8": (q_sim_cosine_q8, oracle_ml.cosine_topk_q8_sql(0, 10)),
+    "sim_ivf_indexed": (
+        q_sim_ivf_indexed, oracle_ml.kmeans_ivf_topk_sql(0, 10, 8, 3, 3)),
     "seg_scan_limited": (q_seg_scan_limited, _SCAN_LIMITED_SQL),
     "regex_fuzzy": (q_regex_fuzzy, _REGEX_FUZZY_SQL),
     "sort_multivalue": (q_sort_multivalue, _SORT_MULTI_SQL),

@@ -338,6 +338,49 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     return cosine_topk(cand, query_vec, k, vec_col, id_col, exclude_id)
 
 
+def build_ivf_index(emb: DataFrame, path: str, k: int = 8,
+                    n_iter: int = 3, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> None:
+    """Persist an IVF index: vectors in label-PARTITIONED parquet plus
+    a k-row centroid table — the IVF twin of :func:`build_lsh_index`.
+    Probes read ONLY the probed clusters' partitions
+    (``PartitionFilters: label IN (...)``), so query cost is
+    O(corpus × n_probe / k), never a full scan; centroids are computed
+    once at build instead of per query. Labels come from the
+    deterministic k-means (no RNG — rebuilds are byte-identical)."""
+    labels = kmeans_labels(emb, k, n_iter, vec_col, id_col)
+    labeled = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+    ).join(labels, "vec_id")
+    labeled.write.mode("overwrite").partitionBy("label") \
+        .parquet(f"{path}/vectors")
+    ivf_centroids(labeled, "label", "embedding") \
+        .write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_indexed(spark, path: str, query_vec: list[float],
+                     k: int = 10, n_probe: int = 2,
+                     exclude_id: int | None = None) -> DataFrame:
+    """ANN probe against a persisted IVF index: rank the k-row
+    centroid table (one tiny job), then exact cosine re-rank inside
+    the ``n_probe`` nearest clusters — a partition-pruned read."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cents = spark.read.parquet(f"{path}/centroids")
+    probe = [
+        r["label"] for r in cents.select(
+            "label",
+            F.round(cosine(F.col("centroid"), q) * 1000000, 0)
+            .cast("long").alias("csim_micro"))
+        .orderBy(F.desc("csim_micro"), F.asc("label"))
+        .limit(n_probe).collect()
+    ]
+    vecs = spark.read.parquet(f"{path}/vectors") \
+        .where(F.col("label").isin(probe))
+    return cosine_topk(vecs, query_vec, k, "embedding", "vec_id",
+                       exclude_id)
+
+
 def kmeans_labels(emb: DataFrame, k: int = 8, n_iter: int = 4,
                   vec_col: str = "embedding",
                   id_col: str = "vec_id") -> DataFrame:

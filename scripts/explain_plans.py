@@ -117,6 +117,20 @@ def main() -> None:
         explain_str(lp),
     ))
 
+    from idzebra_spark.operators.similarity import (
+        build_ivf_index, ivf_topk_indexed)
+    ivf_path = tempfile.mkdtemp(prefix="plans_ivf_") + "/ivf"
+    build_ivf_index(emb, ivf_path, k=8, n_iter=3)
+    ip = ivf_topk_indexed(spark, ivf_path, qv, 10, 3, 0)
+    sections.append((
+        "Indexed IVF ANN probe (partition pruning)",
+        "The IVF twin of the LSH index: vectors live label-partitioned,"
+        " centroids in a k-row table ranked in one tiny job; the "
+        "vector read must show PartitionFilters (label IN ...) — "
+        "O(corpus x n_probe / k), never a full scan.",
+        explain_str(ip),
+    ))
+
     from idzebra_spark.sources.xml_filter import xml_corpus
     xc = xml_corpus(docs)
     sections.append((

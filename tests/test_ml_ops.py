@@ -213,3 +213,25 @@ def test_cross_contamination_semantics(spark):
     capped = cross_contamination(test2, train2, n=3, threshold=0.1,
                                  max_shingle_df=3)
     assert capped.count() == 0
+
+
+def test_ivf_indexed_equals_live_and_prunes(spark, sf_dir, tmp_path):
+    """Persisted IVF probe == the live kmeans+probe path (labels are
+    deterministic), and the vector read is partition-pruned to the
+    probed clusters."""
+    from idzebra_spark.operators.similarity import (
+        build_ivf_index, ivf_topk, ivf_topk_indexed, kmeans_labels)
+
+    emb, qv = _qv(spark, sf_dir)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, k=8, n_iter=3)
+    labels = kmeans_labels(emb, 8, 3)
+    live = [(r.vec_id, r.sim_micro) for r in
+            ivf_topk(emb.drop("label").join(labels, "vec_id"), qv, 10,
+                     n_probe=3, exclude_id=0).collect()]
+    idxd = [(r.vec_id, r.sim_micro) for r in
+            ivf_topk_indexed(spark, path, qv, 10, 3, 0).collect()]
+    assert live == idxd
+    plan = ivf_topk_indexed(spark, path, qv, 10, 3, 0) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [label" in plan
