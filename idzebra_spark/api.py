@@ -190,10 +190,12 @@ class ZebraSpark:
         DataFrame (query_id, doc_id, score_milli) with per-query
         top-k, computed in ONE Spark job for all flat boolean queries
         (SegmentIndex.topk_many). Structured queries (phrases, parens
-        mixing ops) fall back to their per-query plan and are unioned
-        in — each query's rows are identical to ``search(q, k)``."""
+        mixing ops) batch through the rset-DAG twin
+        (SegmentIndex.search_tree_many) — a mixed workload costs TWO
+        cogrouped jobs total, never one per query; each query's rows
+        are identical to ``search(q, k)``."""
         flat_specs: dict[str, dict] = {}
-        structured: list[tuple[str, object]] = []
+        tree_specs: dict[str, object] = {}
         for qid, qs in queries.items():
             root = self._fold_node(parse(qs).root)
             flat = _flat_rankable(root)
@@ -202,16 +204,12 @@ class ZebraSpark:
                 flat_specs[qid] = {"terms": terms, "mode": mode,
                                    "not_terms": neg}
             else:
-                structured.append((qid, root))
+                tree_specs[qid] = root.to_rset_tree()
         parts = []
         if flat_specs:
             parts.append(self.index.topk_many(flat_specs, k))
-        for qid, root in structured:
-            parts.append(
-                self.index.search_tree(root.to_rset_tree(), k)
-                .select(F.lit(qid).alias("query_id"), "doc_id",
-                        "score_milli")
-            )
+        if tree_specs:
+            parts.append(self.index.search_tree_many(tree_specs, k))
         if not parts:
             from idzebra_spark.operators.wand import BATCH_RESULT_SCHEMA
 

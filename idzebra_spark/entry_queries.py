@@ -185,6 +185,9 @@ _WAND_BATCH_SQL = (
     + "\nORDER BY query_id ASC, score_milli DESC, doc_id ASC"
 )
 
+# (_TREE_BATCH_SQL is composed further down, after the single-tree
+# SQLs it unions are defined)
+
 
 # ------------------------------------------------------- boolean layer
 
@@ -755,6 +758,88 @@ scored AS (
 SELECT doc_id, CAST(round(raw * 10000) AS BIGINT) AS score_milli
 FROM scored ORDER BY score_milli DESC, doc_id ASC LIMIT 10
 """
+
+
+def q_wand_tree_batch(spark, sf_dir):
+    """Batched STRUCTURED queries: a boolean+phrase DAG, a
+    truncation-AND tree, and a proximity tree — all evaluated in ONE
+    cogrouped pass (`search_tree_many`, the rset-DAG twin of
+    `topk_many`). Each query's rows are rank-identical to its
+    single-tree run; the oracle is the tagged union of the
+    single-query SQLs."""
+    from idzebra_spark.plans.query import parse
+
+    trees = {
+        "pb": parse('(merge OR sort) AND scan NOT "batch batch"')
+        .root.to_rset_tree(),
+        "pf": ("and", [("prefix", "sc"), ("term", "window")]),
+        "pp": parse("merge NEAR/3 sort").root.to_rset_tree(),
+    }
+    return (
+        _index(spark, sf_dir).search_tree_many(trees, 10)
+        .orderBy("query_id", F.desc("score_milli"), F.asc("doc_id"))
+    )
+
+
+_SCORE_CTE = f"""
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM posting GROUP BY doc_id, term
+),
+dft AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM posting GROUP BY term
+),
+score_of AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+         * tf.tf * {oracle.K1 + 1.0}
+         / (tf.tf + {oracle.K1} * ({1.0 - oracle.B}
+             + {oracle.B} * doclen.doclen / stats.avgdl)) AS s
+  FROM tf JOIN dft USING (term)
+  JOIN doclen ON doclen.doc_id = tf.doc_id
+  CROSS JOIN stats
+)
+"""
+
+_TREE_PF_SQL = f"""
+WITH {oracle.TOKS_CTE},
+{_SCORE_CTE},
+docset AS (
+  SELECT DISTINCT doc_id FROM posting WHERE term LIKE 'sc%'
+  INTERSECT SELECT DISTINCT doc_id FROM posting WHERE term = 'window'
+)
+SELECT ds.doc_id, CAST(round(sum(s) * 10000) AS BIGINT) AS score_milli
+FROM docset ds JOIN score_of sc
+  ON sc.doc_id = ds.doc_id AND sc.term = 'window'
+GROUP BY ds.doc_id
+ORDER BY score_milli DESC, ds.doc_id ASC LIMIT 10
+"""
+
+_TREE_PP_SQL = f"""
+WITH {oracle.TOKS_CTE},
+{_SCORE_CTE},
+docset AS (
+  SELECT DISTINCT p1.doc_id
+  FROM posting p1 JOIN posting p2
+    ON p2.doc_id = p1.doc_id
+   AND abs(p2.pos - p1.pos) <= 3 AND p2.pos <> p1.pos
+  WHERE p1.term = 'merge' AND p2.term = 'sort'
+)
+SELECT ds.doc_id, CAST(round(sum(s) * 10000) AS BIGINT) AS score_milli
+FROM docset ds JOIN score_of sc
+  ON sc.doc_id = ds.doc_id AND sc.term IN ('merge', 'sort')
+GROUP BY ds.doc_id
+ORDER BY score_milli DESC, ds.doc_id ASC LIMIT 10
+"""
+
+_TREE_BATCH_SQL = (
+    "\nUNION ALL\n".join([
+        _tagged("pb", _WAND_PARSED_SQL),
+        _tagged("pf", _TREE_PF_SQL),
+        _tagged("pp", _TREE_PP_SQL),
+    ])
+    + "\nORDER BY query_id ASC, score_milli DESC, doc_id ASC"
+)
 
 
 def q_wand_fielded_search(spark, sf_dir):
@@ -1388,6 +1473,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "safari_search": (q_safari_search,
                       oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
     "wand_bm25_batch": (q_wand_bm25_batch, _WAND_BATCH_SQL),
+    "wand_tree_batch": (q_wand_tree_batch, _TREE_BATCH_SQL),
     "charmap_fold": (q_charmap_fold, oracle.charmap_fold_sql()),
     "charmap_chr": (q_charmap_chr, oracle.charmap_chr_sql()),
     "dedup_simhash_hamming": (

@@ -718,6 +718,59 @@ def tree_rank_terms(tree) -> list[str]:
     return []
 
 
+_EV_EMPTY = np.empty(0, np.int64)
+
+
+def _ev_node(node, docs_of: dict, pos_of: dict) -> np.ndarray:
+    """Evaluate one rset-tree node over decoded per-shard postings —
+    shared by the single-tree and batched kernels. Set algebra on
+    sorted unique docid arrays (rpnsearch.c:2567-2772 over ISAMB
+    leaves)."""
+    E = _EV_EMPTY
+    op = node[0]
+    if op == "term":
+        return docs_of.get(node[1], (E, E))[0]
+    if op == "terms":
+        parts = [docs_of[t][0] for t in node[1] if t in docs_of]
+        if not parts:
+            return E
+        # rset_trunc dedup rule (index/trunc.c:149,200)
+        return np.unique(np.concatenate(parts))
+    if op == "phrase":
+        if any(t not in pos_of for t in node[1]):
+            return E
+        return _phrase_match(pos_of, list(node[1]))[0]
+    if op == "prox":
+        # ("prox", [t1, t2], relation, distance, ordered)
+        if any(t not in pos_of for t in node[1]):
+            return E
+        return _prox_match(pos_of, node[1][0], node[1][1],
+                           node[2], node[3], node[4])
+    if op == "and":
+        # smallest-first child ordering (rsmultiandor.c:26-31)
+        kids = sorted((_ev_node(c, docs_of, pos_of) for c in node[1]),
+                      key=lambda a: a.size)
+        out = kids[0]
+        for a in kids[1:]:
+            if out.size == 0:
+                return E
+            out = np.intersect1d(out, a, assume_unique=True)
+        return out
+    if op == "or":
+        parts = [a for a in (_ev_node(c, docs_of, pos_of)
+                             for c in node[1]) if a.size]
+        if not parts:
+            return E
+        return np.unique(np.concatenate(parts))
+    if op == "not":
+        a = _ev_node(node[1], docs_of, pos_of)
+        if a.size == 0:
+            return E
+        return np.setdiff1d(a, _ev_node(node[2], docs_of, pos_of),
+                            assume_unique=True)
+    raise ValueError(f"unknown tree node {op!r}")
+
+
 def _rset_kernel(tree, term_idf, avgdl, rank_order, k, k1=K1, b=B):
     """Per-shard rset-DAG evaluator + BM25 ranker — the Spark twin of
     rpn_search_structure evaluating the whole boolean tree over ISAMB
@@ -750,48 +803,7 @@ def _rset_kernel(tree, term_idf, avgdl, rank_order, k, k1=K1, b=B):
             if need_p:
                 pos_of[t] = (d, tok_off, p)
 
-        def ev(node) -> np.ndarray:
-            op = node[0]
-            if op == "term":
-                return docs_of.get(node[1], (E, E))[0]
-            if op == "terms":
-                parts = [docs_of[t][0] for t in node[1] if t in docs_of]
-                if not parts:
-                    return E
-                # rset_trunc dedup rule (index/trunc.c:149,200)
-                return np.unique(np.concatenate(parts))
-            if op == "phrase":
-                if any(t not in pos_of for t in node[1]):
-                    return E
-                return _phrase_match(pos_of, list(node[1]))[0]
-            if op == "prox":
-                # ("prox", [t1, t2], relation, distance, ordered)
-                if any(t not in pos_of for t in node[1]):
-                    return E
-                return _prox_match(pos_of, node[1][0], node[1][1],
-                                   node[2], node[3], node[4])
-            if op == "and":
-                # smallest-first child ordering (rsmultiandor.c:26-31)
-                kids = sorted((ev(c) for c in node[1]), key=lambda a: a.size)
-                out = kids[0]
-                for a in kids[1:]:
-                    if out.size == 0:
-                        return E
-                    out = np.intersect1d(out, a, assume_unique=True)
-                return out
-            if op == "or":
-                parts = [a for a in (ev(c) for c in node[1]) if a.size]
-                if not parts:
-                    return E
-                return np.unique(np.concatenate(parts))
-            if op == "not":
-                a = ev(node[1])
-                if a.size == 0:
-                    return E
-                return np.setdiff1d(a, ev(node[2]), assume_unique=True)
-            raise ValueError(f"unknown tree node {op!r}")
-
-        docs = ev(tree)
+        docs = _ev_node(tree, docs_of, pos_of)
         if docs.size == 0:
             return empty
         if not rank_order:
@@ -820,6 +832,82 @@ def _rset_kernel(tree, term_idf, avgdl, rank_order, k, k1=K1, b=B):
             sel = np.lexsort((docs, -milli))[:k]
             docs, raw = docs[sel], raw[sel]
         return pd.DataFrame({"doc_id": docs.astype(np.int64), "raw": raw})
+
+    return fn
+
+
+def _rset_kernel_many(specs, avgdl, k, k1=K1, b=B):
+    """Per-shard evaluator for a BATCH of rset DAGs — the structured-
+    query twin of :func:`_multi_query_kernel`. Every term referenced
+    by ANY tree is decoded once per shard (positions only for terms
+    some tree uses positionally); each spec then evaluates its DAG
+    and ranks against the shared decode cache with per-query math
+    identical to :func:`_rset_kernel`, so each query's rows match its
+    single-tree run exactly.
+
+    ``specs``: [{qid, tree (expanded), idf: {term: idf},
+    order: [rank terms], plain: set, phrased: set}]."""
+    all_plain = set().union(*(s["plain"] for s in specs))
+    all_phrased = set().union(*(s["phrased"] for s in specs))
+    empty = pd.DataFrame({
+        "query_id": pd.Series([], dtype="object"),
+        "doc_id": pd.Series([], dtype="int64"),
+        "raw": pd.Series([], dtype="float64"),
+    })
+
+    def fn(blocks: pd.DataFrame, norms: pd.DataFrame) -> pd.DataFrame:
+        if len(blocks) == 0:
+            return empty
+        by_term = {t: g for t, g in blocks.groupby("term", sort=False)}
+        docs_of: dict[str, tuple] = {}
+        pos_of: dict[str, tuple] = {}
+        for t in (all_plain | all_phrased):
+            if t not in by_term:
+                continue
+            need_p = t in all_phrased
+            d, tfv, tok_off, p = _decode_with_offsets(by_term[t], need_p)
+            docs_of[t] = (d, tfv)
+            if need_p:
+                pos_of[t] = (d, tok_off, p)
+        nd = None
+        out_q, out_d, out_r = [], [], []
+        for s in specs:
+            docs = _ev_node(s["tree"], docs_of, pos_of)
+            if docs.size == 0:
+                continue
+            order = [t for t in s["order"] if t in docs_of]
+            if not order:
+                raw = np.zeros(docs.size, dtype=np.float64)
+            else:
+                if nd is None:
+                    if len(norms) == 0:
+                        continue
+                    nd = _decode_norms(norms)
+                dl = nd[1][np.searchsorted(nd[0], docs)]
+                raw = np.zeros(docs.size, dtype=np.float64)
+                for t in order:
+                    d, tfv = docs_of[t]
+                    idx = np.searchsorted(d, docs)
+                    ok = (idx < d.size)
+                    ok[ok] = d[idx[ok]] == docs[ok]
+                    if not ok.any():
+                        continue
+                    raw[ok] += s["idf"][t] * _bm25_tf(
+                        tfv[idx[ok]], dl[ok], avgdl, k1, b)
+            if k is not None and docs.size > k:
+                milli = np.floor(raw * 10000.0 + 0.5).astype(np.int64)
+                sel = np.lexsort((docs, -milli))[:k]
+                docs, raw = docs[sel], raw[sel]
+            out_q.extend([s["qid"]] * docs.size)
+            out_d.append(docs)
+            out_r.append(raw)
+        if not out_d:
+            return empty
+        return pd.DataFrame({
+            "query_id": pd.Series(out_q, dtype="object"),
+            "doc_id": np.concatenate(out_d).astype(np.int64),
+            "raw": np.concatenate(out_r),
+        })
 
     return fn
 
@@ -1331,6 +1419,65 @@ class SegmentIndex:
             )
             .orderBy(F.desc("score_milli"), F.asc("doc_id"))
             .limit(k)
+        )
+
+    def search_tree_many(self, trees: "dict[str, object]",
+                         k: int = 10) -> DataFrame:
+        """Batched STRUCTURED search: {query_id: rset tree} → one
+        DataFrame (query_id, doc_id, score_milli), all trees evaluated
+        in ONE cogrouped pass (shared per-shard term decode — the
+        structured twin of :meth:`topk_many`). Each query's rows are
+        rank-identical to ``search_tree(tree, k)``."""
+        n_docs, avgdl = self.stats()
+        if n_docs == 0 or not trees:
+            return self.spark.createDataFrame([], BATCH_RESULT_SCHEMA)
+        prepared = {}
+        rank_union: set[str] = set()
+        for qid, tree in trees.items():
+            tr = self._expand_tree(tree)
+            plain, phrased = _tree_terms(tr)
+            if not (plain | phrased):
+                continue
+            rt = sorted({t.lower() for t in tree_rank_terms(tr)})
+            prepared[qid] = (tr, plain, phrased, rt)
+            rank_union.update(rt)
+        if not prepared:
+            return self.spark.createDataFrame([], BATCH_RESULT_SCHEMA)
+        info = self.lookup_terms(sorted(rank_union))
+        specs = []
+        scan_terms: set[str] = set()
+        for qid, (tr, plain, phrased, rt) in prepared.items():
+            idf = {
+                t: math.log(1.0 + (n_docs - info[t]["df"] + 0.5)
+                            / (info[t]["df"] + 0.5))
+                for t in rt if t in info
+            }
+            specs.append({"qid": str(qid), "tree": tr, "idf": idf,
+                          "order": [t for t in rt if t in idf],
+                          "plain": plain, "phrased": phrased})
+            scan_terms |= plain | phrased
+        blk = self.blocks.where(F.col("term").isin(sorted(scan_terms)))
+        nrm = self.norms.join(blk.select("shard").distinct(), "shard",
+                              "semi")
+        kernel = _rset_kernel_many(specs, avgdl, k)
+        out = (
+            blk.groupBy("shard")
+            .cogroup(nrm.groupBy("shard"))
+            .applyInPandas(kernel, BATCH_TOPK_SCHEMA)
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score_milli"), F.asc("doc_id"))
+        return (
+            out.select(
+                "query_id", "doc_id",
+                F.round(F.col("raw") * 10000, 0).cast("long")
+                .alias("score_milli"),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
         )
 
     def term_postings(self, terms: list[str],

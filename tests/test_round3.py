@@ -81,6 +81,34 @@ def test_topk_many_matches_single_query(seg_idx):
         assert got.get(qid, []) == single, qid
 
 
+def test_search_tree_many_matches_single_tree(seg_idx):
+    """Every tree in a structured batch is rank-identical to its
+    single-tree search_tree() run — boolean+phrase DAG, truncation
+    tree, prox tree, and a no-hit tree emitting nothing."""
+    from idzebra_spark.plans.query import parse
+
+    trees = {
+        "pb": parse('(merge OR sort) AND scan NOT "batch batch"')
+        .root.to_rset_tree(),
+        "pf": ("and", [("prefix", "sc"), ("term", "window")]),
+        "pp": parse("merge NEAR/3 sort").root.to_rset_tree(),
+        "miss": ("term", "nosuchtokenanywhere"),
+    }
+    batch = seg_idx.search_tree_many(trees, 10).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["score_milli"]))
+    assert "miss" not in got
+    for qid, tree in trees.items():
+        if qid == "miss":
+            continue
+        single = [(r["doc_id"], r["score_milli"])
+                  for r in seg_idx.search_tree(tree, 10).collect()]
+        ordered = sorted(got.get(qid, []), key=lambda x: (-x[1], x[0]))
+        assert ordered == single, qid
+
+
 def test_search_many_facade(spark, sf_dir, tmp_path_factory, seg_idx):
     """search_many mixes flat (batched) and structured (fallback)
     queries; each query's rows equal search()'s."""
