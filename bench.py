@@ -126,6 +126,26 @@ def main() -> None:
     timings["q_batch64_batched"] = round(batch64_sec, 4)
     batch64_qps = round(64.0 / batch64_sec, 2)
 
+    # structured batch: 8 rset DAGs (phrase/prox/truncation/boolean)
+    # in ONE search_tree_many pass vs one search_tree job each
+    from idzebra_spark.plans.query import parse as _parse
+    tree_batch = {}
+    for i in range(8):
+        t1 = base_terms[i % 16]
+        t2 = base_terms[(i * 7 + 5) % 16]
+        q = [f'"{t1} {t2}"', f"{t1} NEAR/3 {t2}",
+             f"({t1} OR {t2}) AND scan", f"sc* AND {t2}"][i % 4]
+        tree_batch[f"t{i}"] = _parse(q).root.to_rset_tree()
+    t = time.perf_counter()
+    for tr in tree_batch.values():
+        idx.search_tree(tr, 10).collect()
+    tree_serial_sec = time.perf_counter() - t
+    t = time.perf_counter()
+    idx.search_tree_many(tree_batch, 10).collect()
+    tree_batch_sec = time.perf_counter() - t
+    timings["q_tree8_serial"] = round(tree_serial_sec, 4)
+    timings["q_tree8_batched"] = round(tree_batch_sec, 4)
+
     run("q_phrase_segment", lambda: idx.phrase(["batch", "batch"], 10).collect())
     run("q_phrase_highdf", lambda: idx.phrase(["value", "table"], 10).collect())
 
