@@ -781,13 +781,20 @@ def q_wand_tree_batch(spark, sf_dir):
     )
 
 
-_SCORE_CTE = f"""
+def _score_cte(terms: list[str]) -> str:
+    """``score_of(doc_id, term, s)``: per-(doc, term) BM25 partial,
+    restricted to the ranked term set (never the whole posting
+    table — the oracle must stay O(queried terms) like
+    oracle.bm25_topk_sql)."""
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
 tf AS (
   SELECT doc_id, term, count(*)::DOUBLE AS tf
-  FROM posting GROUP BY doc_id, term
+  FROM posting WHERE term IN ({inlist}) GROUP BY doc_id, term
 ),
 dft AS (
-  SELECT term, count(DISTINCT doc_id) AS df FROM posting GROUP BY term
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM posting WHERE term IN ({inlist}) GROUP BY term
 ),
 score_of AS (
   SELECT tf.doc_id, tf.term,
@@ -801,9 +808,10 @@ score_of AS (
 )
 """
 
+
 _TREE_PF_SQL = f"""
 WITH {oracle.TOKS_CTE},
-{_SCORE_CTE},
+{_score_cte(["window"])},
 docset AS (
   SELECT DISTINCT doc_id FROM posting WHERE term LIKE 'sc%'
   INTERSECT SELECT DISTINCT doc_id FROM posting WHERE term = 'window'
@@ -817,7 +825,7 @@ ORDER BY score_milli DESC, ds.doc_id ASC LIMIT 10
 
 _TREE_PP_SQL = f"""
 WITH {oracle.TOKS_CTE},
-{_SCORE_CTE},
+{_score_cte(["merge", "sort"])},
 docset AS (
   SELECT DISTINCT p1.doc_id
   FROM posting p1 JOIN posting p2

@@ -355,7 +355,10 @@ def build_ivf_index(emb: DataFrame, path: str, k: int = 8,
     ).join(labels, "vec_id")
     labeled.write.mode("overwrite").partitionBy("label") \
         .parquet(f"{path}/vectors")
-    ivf_centroids(labeled, "label", "embedding") \
+    # centroids from the JUST-WRITTEN vectors: one assignment-lineage
+    # evaluation instead of two, and the read-back validates the files
+    written = labeled.sparkSession.read.parquet(f"{path}/vectors")
+    ivf_centroids(written, "label", "embedding") \
         .write.mode("overwrite").parquet(f"{path}/centroids")
 
 

@@ -786,7 +786,6 @@ def _rset_kernel(tree, term_idf, avgdl, rank_order, k, k1=K1, b=B):
         "doc_id": pd.Series([], dtype="int64"),
         "raw": pd.Series([], dtype="float64"),
     })
-    E = np.empty(0, np.int64)
 
     def fn(blocks: pd.DataFrame, norms: pd.DataFrame) -> pd.DataFrame:
         if len(blocks) == 0:
@@ -875,7 +874,12 @@ def _rset_kernel_many(specs, avgdl, k, k1=K1, b=B):
             docs = _ev_node(s["tree"], docs_of, pos_of)
             if docs.size == 0:
                 continue
-            order = [t for t in s["order"] if t in docs_of]
+            # rank only over THIS spec's own terms: the decode cache
+            # is shared across the batch, so a term another query
+            # scanned must not leak into this query's BM25 (it would
+            # diverge from the single-tree run, which never decodes it)
+            own = s["plain"] | s["phrased"]
+            order = [t for t in s["order"] if t in docs_of and t in own]
             if not order:
                 raw = np.zeros(docs.size, dtype=np.float64)
             else:

@@ -159,7 +159,6 @@ def test_charmap_incremental_update(spark, tmp_path):
          (2, "CAFÉ now here"), (3, "Économie text")],
         ["doc_id", "text"])
     z.update(corpus2, alphabet=cm)
-    z._corpus = corpus2
     assert {r.doc_id for r in z.search("café", 10).collect()} == {0, 1, 2}
     assert {r.doc_id for r in z.search("economie", 10).collect()} == {3}
 

@@ -94,6 +94,11 @@ def test_search_tree_many_matches_single_tree(seg_idx):
         "pp": parse("merge NEAR/3 sort").root.to_rset_tree(),
         "miss": ("term", "nosuchtokenanywhere"),
     }
+    # rank isolation: a term decoded for ANOTHER query in the batch
+    # must not leak into this query's BM25 ('Merge' finds no blocks
+    # in the lowercase index; lowercase 'merge' is decoded only
+    # because the "pb" tree references it)
+    trees["case"] = ("or", [("term", "Merge"), ("term", "scan")])
     batch = seg_idx.search_tree_many(trees, 10).collect()
     got = {}
     for r in batch:
@@ -103,6 +108,8 @@ def test_search_tree_many_matches_single_tree(seg_idx):
     for qid, tree in trees.items():
         if qid == "miss":
             continue
+        # 'case' compares against its own single-tree run below — the
+        # single run never decodes 'merge', and neither may the batch
         single = [(r["doc_id"], r["score_milli"])
                   for r in seg_idx.search_tree(tree, 10).collect()]
         ordered = sorted(got.get(qid, []), key=lambda x: (-x[1], x[0]))
