@@ -1,0 +1,147 @@
+"""``python -m idzebra_spark`` — the zebraidx/zebrasrv command-line
+surface (/root/reference/index/zebraidx.c: update/commit/clean verbs;
+doc/zebraidx.xml) over the Spark engine.
+
+    python -m idzebra_spark build   --index IDX --corpus docs.parquet
+    python -m idzebra_spark update  --index IDX --corpus docs2.parquet
+    python -m idzebra_spark search  --index IDX --corpus docs.parquet \\
+        '(merge OR sort) AND scan' -k 10
+    python -m idzebra_spark scan    --index IDX merge --after 5
+    python -m idzebra_spark info    --index IDX
+    python -m idzebra_spark fetch   --index IDX --corpus docs.parquet \\
+        --ids 1,2,3 --elements meta
+    python -m idzebra_spark compact --index IDX
+    python -m idzebra_spark vacuum  --index IDX
+
+Corpora are parquet files/directories with (doc_id, text, ...) —
+zebraidx's record directories map to parquet datasets here. The
+``--alphabet`` option accepts the built-in names (ascii, unicode,
+fold) or a ``.chr`` charmap FILE path (tab/string.chr syntax).
+Results print as TSV on stdout; ``info``/build metrics as JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _alphabet(spec: str):
+    if spec in ("ascii", "unicode", "fold"):
+        return spec
+    from idzebra_spark.functions.charmap import charmap_from_chr
+
+    with open(spec) as f:
+        return charmap_from_chr(f.read())
+
+
+def _fields(spec: str | None) -> dict | None:
+    """``w:source,tags;p:lang`` → {"w": [...], "p": [...]}."""
+    if not spec:
+        return None
+    out: dict[str, list[str]] = {}
+    for part in spec.split(";"):
+        kind, cols = part.split(":", 1)
+        if kind not in ("w", "p"):
+            raise SystemExit(f"unknown index type {kind!r} (use w or p)")
+        out.setdefault(kind, []).extend(c for c in cols.split(",") if c)
+    return out
+
+
+def _print_df(df, limit: int = 1000) -> None:
+    cols = df.columns
+    print("\t".join(cols))
+    for r in df.limit(limit).collect():
+        print("\t".join("" if r[c] is None else str(r[c]) for c in cols))
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="idzebra_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, corpus=False):
+        sp.add_argument("--index", required=True)
+        if corpus:
+            sp.add_argument("--corpus", required=True)
+        sp.add_argument("--alphabet", default="ascii")
+        sp.add_argument("--cpus", type=int, default=None)
+
+    for verb in ("build", "update"):
+        sp = sub.add_parser(verb)
+        common(sp, corpus=True)
+        sp.add_argument("--fields", default=None,
+                        help="w:col1,col2;p:col3 (Zebra index types)")
+        sp.add_argument("--shard-size", type=int, default=4096)
+        sp.add_argument("--no-positions", action="store_true")
+
+    sp = sub.add_parser("search")
+    common(sp, corpus=True)
+    sp.add_argument("query")
+    sp.add_argument("-k", type=int, default=10)
+
+    sp = sub.add_parser("scan")
+    common(sp)
+    sp.add_argument("seed")
+    sp.add_argument("--after", type=int, default=10)
+    sp.add_argument("--before", type=int, default=0)
+    sp.add_argument("--limit-query", default=None)
+    sp.add_argument("--field", default=None,
+                    help="register name, or comma-list for a merged "
+                         "multi-ordinal scan")
+
+    sp = sub.add_parser("fetch")
+    common(sp, corpus=True)
+    sp.add_argument("--ids", required=True)
+    sp.add_argument("--elements", default="full",
+                    choices=["full", "meta", "head", "index"])
+
+    for verb in ("info", "compact", "vacuum"):
+        common(sub.add_parser(verb))
+
+    a = p.parse_args(argv)
+
+    from idzebra_spark.api import ZebraSpark
+    from idzebra_spark.session import get_spark
+
+    spark = get_spark("idzebra-cli",
+                      master=f"local[{a.cpus}]" if a.cpus else None)
+    alphabet = _alphabet(a.alphabet)
+
+    corpus = None
+    if getattr(a, "corpus", None):
+        corpus = spark.read.parquet(a.corpus)
+    z = ZebraSpark(spark, a.index, corpus=corpus, alphabet=alphabet)
+
+    if a.cmd in ("build", "update"):
+        kw = dict(shard_size=a.shard_size, alphabet=alphabet,
+                  fields=_fields(a.fields))
+        if a.cmd == "build":
+            kw["store_positions"] = not a.no_positions
+            m = z.build(corpus, **kw)
+        else:
+            m = z.update(corpus, **{k: v for k, v in kw.items()
+                                    if k != "shard_size"})
+        print(json.dumps({k: v for k, v in m.items()
+                          if isinstance(v, (int, float, str))}))
+    elif a.cmd == "search":
+        _print_df(z.search(a.query, a.k))
+    elif a.cmd == "scan":
+        field = a.field.split(",") if a.field and "," in a.field \
+            else a.field
+        _print_df(z.scan(a.seed, a.after, a.before,
+                         limit_query=a.limit_query, field=field))
+    elif a.cmd == "fetch":
+        ids = [int(x) for x in a.ids.split(",") if x]
+        _print_df(z.fetch(ids, elements=a.elements))
+    elif a.cmd == "info":
+        print(json.dumps(z.info()))
+    elif a.cmd == "compact":
+        print(json.dumps(z.compact()))
+    elif a.cmd == "vacuum":
+        print(json.dumps({"removed": len(z.vacuum())}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -59,7 +59,8 @@ class ZebraSpark:
     def __init__(self, spark: SparkSession, index_path: str,
                  corpus: DataFrame | None = None,
                  text_col: str = "text", id_col: str = "doc_id",
-                 cache_hot: bool = False):
+                 cache_hot: bool = False,
+                 alphabet="ascii"):
         self.spark = spark
         self.path = index_path
         self.text_col = text_col
@@ -69,7 +70,11 @@ class ZebraSpark:
         self._idx: SegmentIndex | None = None
         self._ops: PostingsOps | None = None
         self._fields: dict[str, list[str]] | None = None
-        self._alphabet = "ascii"
+        # a charmap name or a parsed .chr Charmap; build/update kwargs
+        # override it, and an open-for-query facade must pass the SAME
+        # alphabet the index was built with (query terms fold through
+        # it before every dictionary lookup)
+        self._alphabet = alphabet
 
     # ------------------------------------------------------- lifecycle
 
