@@ -256,6 +256,62 @@ def test_bmp_codec_roundtrip():
         decode_bmp(b"notabmp")
 
 
+# ------------------------------------------------------- PNG codec
+
+def test_png_codec_roundtrip_and_filters():
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    from idzebra_spark.operators.multimodal import (
+        _PNG_SIG, _png_chunk, decode_png, encode_png)
+
+    rng = np.random.default_rng(11)
+    for shape in [(6, 9, 3), (5, 5, 4), (1, 3, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert (decode_png(encode_png(img)) == img).all()
+
+    # hand-filter scanlines with every filter type (spec §9) and
+    # check the decoder's unfilter inverts each
+    img = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+    h, w, c = img.shape
+    flat = img.reshape(h, w * c).astype(np.int32)
+    raw = bytearray()
+    for y, ft in enumerate([0, 1, 2, 3, 4]):
+        line = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * c, np.int32)
+        filt = np.zeros(w * c, np.int32)
+        for x in range(w * c):
+            a = line[x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else cc)
+            filt[x] = (line[x] - pred) & 0xFF
+        raw += bytes([ft]) + bytes(filt.astype(np.uint8))
+    ihdr = st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + _png_chunk(b"IEND", b""))
+    assert (decode_png(payload) == img).all()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_png(b"nope")
+
+
 # ------------------------------------------------- charmap folding
 
 def test_fold_tokenizer_goldens(spark):
