@@ -114,3 +114,22 @@ def test_random_tree_ranking_global_stats(seg, ops, docs):
         )
         want = [(r["doc_id"], r["score_milli"]) for r in ref.collect()]
         assert got == want, tree
+
+
+def test_random_tree_batch_equals_singles(seg):
+    """search_tree_many over a batch of RANDOM trees is rank-identical
+    per query to the single-tree runs — the fuzz-level guarantee for
+    the batched serving path (shared decode cache must not leak rank
+    terms or positions across queries)."""
+    rng = random.Random(4242)
+    trees = {f"q{i}": random_tree(rng) for i in range(8)}
+    batch = seg.search_tree_many(trees, 10).collect()
+    got: dict = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["score_milli"]))
+    for qid, tree in trees.items():
+        single = [(r["doc_id"], r["score_milli"])
+                  for r in seg.search_tree(tree, 10).collect()]
+        ordered = sorted(got.get(qid, []), key=lambda x: (-x[1], x[0]))
+        assert ordered == single, (qid, tree)
