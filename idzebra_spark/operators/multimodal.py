@@ -56,7 +56,8 @@ WAV_RATE = 8000
 def encode_ppm(img: np.ndarray) -> bytes:
     """P6 binary PPM from an (h, w, 3) uint8 array."""
     h, w, c = img.shape
-    assert c == 3 and img.dtype == np.uint8
+    if c != 3 or img.dtype != np.uint8:
+        raise ValueError("PPM needs (h, w, 3) uint8")
     return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
 
 
@@ -107,7 +108,8 @@ def encode_png(img: np.ndarray) -> bytes:
     import zlib
 
     h, w, c = img.shape
-    assert c in (3, 4) and img.dtype == np.uint8
+    if c not in (3, 4) or img.dtype != np.uint8:
+        raise ValueError("PNG needs (h, w, 3|4) uint8")
     color_type = 2 if c == 3 else 6
     raw = np.empty((h, 1 + w * c), dtype=np.uint8)
     raw[:, 0] = 0  # filter type None per scanline
@@ -216,7 +218,8 @@ def encode_bmp(img: np.ndarray) -> bytes:
     array — bottom-up rows, BGR byte order, 4-byte row stride padding
     (the real on-disk layout quirks)."""
     h, w, c = img.shape
-    assert c == 3 and img.dtype == np.uint8
+    if c != 3 or img.dtype != np.uint8:
+        raise ValueError("BMP needs (h, w, 3) uint8")
     stride = (w * 3 + 3) & ~3
     pad = stride - w * 3
     rows = img[::-1, :, ::-1]  # bottom-up, RGB→BGR

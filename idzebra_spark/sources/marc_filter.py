@@ -48,7 +48,9 @@ def encode_marc(fields: list[tuple[str, str | list[tuple[str, str]]]],
         if tag < "010":
             field = data.encode("utf-8") if isinstance(data, str) else bytes(data)
         else:
-            assert not isinstance(data, (str, bytes))
+            if isinstance(data, (str, bytes)):
+                raise ValueError(
+                    f"variable field {tag} needs (code, value) pairs")
             field = bytearray(b"  ")  # two blank indicators
             for code, value in data:
                 field += bytes([SF]) + code.encode("utf-8") \
@@ -65,7 +67,8 @@ def encode_marc(fields: list[tuple[str, str | list[tuple[str, str]]]],
     if total > 99999:
         raise ValueError("record exceeds ISO2709 5-digit record length")
     leader = (f"{total:05d}{status}am a22{base:05d} a 4500").encode()
-    assert len(leader) == 24, len(leader)
+    if len(leader) != 24:
+        raise ValueError("internal: bad leader length")
     return bytes(leader) + bytes(directory) + bytes(body) + bytes([RS])
 
 
