@@ -42,6 +42,9 @@ def _fields(spec: str | None) -> dict | None:
         return None
     out: dict[str, list[str]] = {}
     for part in spec.split(";"):
+        if ":" not in part:
+            raise SystemExit(
+                f"bad --fields segment {part!r} (expected type:col,...)")
         kind, cols = part.split(":", 1)
         if kind not in ("w", "p"):
             raise SystemExit(f"unknown index type {kind!r} (use w or p)")
@@ -52,8 +55,11 @@ def _fields(spec: str | None) -> dict | None:
 def _print_df(df, limit: int = 1000) -> None:
     cols = df.columns
     print("\t".join(cols))
-    for r in df.limit(limit).collect():
+    rows = df.limit(limit + 1).collect()
+    for r in rows[:limit]:
         print("\t".join("" if r[c] is None else str(r[c]) for c in cols))
+    if len(rows) > limit:
+        print(f"... output truncated at {limit} rows", file=sys.stderr)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -63,20 +69,27 @@ def main(argv: list[str] | None = None) -> int:
     def common(sp, corpus=False):
         sp.add_argument("--index", required=True)
         if corpus:
-            sp.add_argument("--corpus", required=True)
-        sp.add_argument("--alphabet", default="ascii")
+            # required only where the corpus is actually read
+            sp.add_argument("--corpus", required=(corpus == "req"))
+        # None = adopt the alphabet the index was BUILT with
+        # (persisted in build_meta); a value overrides it
+        sp.add_argument("--alphabet", default=None)
         sp.add_argument("--cpus", type=int, default=None)
 
     for verb in ("build", "update"):
         sp = sub.add_parser(verb)
-        common(sp, corpus=True)
+        common(sp, corpus="req")
         sp.add_argument("--fields", default=None,
                         help="w:col1,col2;p:col3 (Zebra index types)")
-        sp.add_argument("--shard-size", type=int, default=4096)
-        sp.add_argument("--no-positions", action="store_true")
+        # update defaults come from the index's build_meta — passing
+        # them explicitly overrides (at your own risk for shard size)
+        sp.add_argument("--shard-size", type=int,
+                        default=4096 if verb == "build" else None)
+        sp.add_argument("--no-positions", action="store_true",
+                        default=None if verb == "update" else False)
 
     sp = sub.add_parser("search")
-    common(sp, corpus=True)
+    common(sp, corpus=True)  # optional: search is index-only
     sp.add_argument("query")
     sp.add_argument("-k", type=int, default=10)
 
@@ -91,7 +104,7 @@ def main(argv: list[str] | None = None) -> int:
                          "multi-ordinal scan")
 
     sp = sub.add_parser("fetch")
-    common(sp, corpus=True)
+    common(sp, corpus="req")
     sp.add_argument("--ids", required=True)
     sp.add_argument("--elements", default="full",
                     choices=["full", "meta", "head", "index"])
@@ -105,8 +118,9 @@ def main(argv: list[str] | None = None) -> int:
     from idzebra_spark.session import get_spark
 
     spark = get_spark("idzebra-cli",
-                      master=f"local[{a.cpus}]" if a.cpus else None)
-    alphabet = _alphabet(a.alphabet)
+                      master=f"local[{a.cpus}]" if a.cpus else None,
+                      shuffle_partitions=a.cpus)  # partitions==cores
+    alphabet = _alphabet(a.alphabet) if a.alphabet else None
 
     corpus = None
     if getattr(a, "corpus", None):
@@ -114,14 +128,19 @@ def main(argv: list[str] | None = None) -> int:
     z = ZebraSpark(spark, a.index, corpus=corpus, alphabet=alphabet)
 
     if a.cmd in ("build", "update"):
-        kw = dict(shard_size=a.shard_size, alphabet=alphabet,
-                  fields=_fields(a.fields))
-        if a.cmd == "build":
+        # pass only what the user gave: update's defaults come from
+        # the index's persisted build_meta (the facade enforces it)
+        kw = {}
+        if a.shard_size is not None:
+            kw["shard_size"] = a.shard_size
+        if a.no_positions is not None:
             kw["store_positions"] = not a.no_positions
-            m = z.build(corpus, **kw)
-        else:
-            m = z.update(corpus, **{k: v for k, v in kw.items()
-                                    if k != "shard_size"})
+        if alphabet is not None:
+            kw["alphabet"] = alphabet
+        f = _fields(a.fields)
+        if f is not None:
+            kw["fields"] = f
+        m = (z.build if a.cmd == "build" else z.update)(corpus, **kw)
         print(json.dumps({k: v for k, v in m.items()
                           if isinstance(v, (int, float, str))}))
     elif a.cmd == "search":

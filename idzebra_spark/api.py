@@ -60,7 +60,7 @@ class ZebraSpark:
                  corpus: DataFrame | None = None,
                  text_col: str = "text", id_col: str = "doc_id",
                  cache_hot: bool = False,
-                 alphabet="ascii"):
+                 alphabet=None):
         self.spark = spark
         self.path = index_path
         self.text_col = text_col
@@ -70,11 +70,32 @@ class ZebraSpark:
         self._idx: SegmentIndex | None = None
         self._ops: PostingsOps | None = None
         self._fields: dict[str, list[str]] | None = None
-        # a charmap name or a parsed .chr Charmap; build/update kwargs
-        # override it, and an open-for-query facade must pass the SAME
-        # alphabet the index was built with (query terms fold through
-        # it before every dictionary lookup)
-        self._alphabet = alphabet
+        # a charmap name or a parsed .chr Charmap. When None (the
+        # default), opening an EXISTING index adopts the alphabet and
+        # fields it was BUILT with (build_meta, written by
+        # build_index) — query terms must fold through the same
+        # charmap the tokens did, and persisting the config removes
+        # the silently-0-hits footgun of re-opening with the wrong
+        # one. An explicit argument overrides the stored value.
+        self._alphabet = alphabet if alphabet is not None else "ascii"
+        self._alphabet_given = alphabet is not None
+        self._meta_loaded = False
+
+    def _load_meta(self) -> None:
+        """Adopt the index's persisted build settings (once)."""
+        if self._meta_loaded:
+            return
+        self._meta_loaded = True
+        from idzebra_spark.operators.segment import (
+            _alphabet_from_meta, read_build_meta)
+
+        m = read_build_meta(self.spark, self.path)
+        self._build_meta = m
+        if m:
+            if not self._alphabet_given:
+                self._alphabet = _alphabet_from_meta(m["alphabet"])
+            if self._fields is None and m.get("fields"):
+                self._fields = m["fields"]
 
     # ------------------------------------------------------- lifecycle
 
@@ -82,6 +103,8 @@ class ZebraSpark:
         self._corpus = corpus
         self._fields = kw.get("fields", self._fields)
         self._alphabet = kw.get("alphabet", self._alphabet)
+        self._alphabet_given = True   # this build defines the config
+        self._meta_loaded = True
         m = build_index(self.spark, corpus, self.path,
                         text_col=self.text_col, id_col=self.id_col, **kw)
         self._idx = None
@@ -89,6 +112,18 @@ class ZebraSpark:
         return m
 
     def update(self, new_corpus: DataFrame, **kw) -> dict:
+        # an update MUST run under the build's settings — defaults
+        # come from the persisted build_meta so an incremental sync
+        # can never silently mix shard sizes, alphabets or position
+        # storage with the existing register
+        self._load_meta()
+        bm = getattr(self, "_build_meta", None)
+        if bm:
+            for key in ("shard_size", "block_size", "store_positions"):
+                kw.setdefault(key, bm[key])
+        kw.setdefault("alphabet", self._alphabet)
+        if self._fields is not None:
+            kw.setdefault("fields", self._fields)
         self._corpus = new_corpus
         self._fields = kw.get("fields", self._fields)
         self._alphabet = kw.get("alphabet", self._alphabet)
@@ -142,6 +177,7 @@ class ZebraSpark:
     @property
     def ops(self) -> PostingsOps:
         if self._ops is None:
+            self._load_meta()
             if self._corpus is None:
                 raise ValueError("corpus DataFrame required for "
                                  "positional/logical operators")
@@ -165,6 +201,7 @@ class ZebraSpark:
         did at index time ('café' queries the 'cafe' register) —
         Zebra maps the query term through the charmap before the dict
         lookup (/root/reference/index/rpnsearch.c:1269-1272)."""
+        self._load_meta()
         if self._alphabet == "ascii" or self._alphabet == "unicode":
             return node
         if node.op in ("term", "prefix", "phrase") and isinstance(
@@ -236,6 +273,7 @@ class ZebraSpark:
         """Charmap-normalize one raw term (the per-string twin of
         _fold_node) — every query surface must map its terms through
         the index's charmap before the dictionary lookup."""
+        self._load_meta()
         if self._alphabet == "fold":
             from idzebra_spark.functions.tokenizer import fold_str
 

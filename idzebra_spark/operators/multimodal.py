@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -95,8 +96,6 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def _png_chunk(tag: bytes, body: bytes) -> bytes:
-    import zlib
-
     return (struct.pack(">I", len(body)) + tag + body
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
 
@@ -105,8 +104,6 @@ def encode_png(img: np.ndarray) -> bytes:
     """Real PNG from an (h, w, 3|4) uint8 array: IHDR + zlib-deflated
     IDAT (filter type 0 per scanline) + IEND — zlib is stdlib, so
     this is a genuine compressed codec, not a stub."""
-    import zlib
-
     h, w, c = img.shape
     if c not in (3, 4) or img.dtype != np.uint8:
         raise ValueError("PNG needs (h, w, 3|4) uint8")
@@ -124,10 +121,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     """Parse 8-bit truecolor PNG (color types 2/RGB and 6/RGBA, no
     interlace) → (h, w, c) uint8. Real decode: chunk walk, zlib
     inflate, then the full scanline UNFILTER pass — Sub/Up/Average/
-    Paeth exactly per the PNG spec (the per-pixel recurrences run
-    vectorized per scanline; only the h-step loop is Python)."""
-    import zlib
-
+    Paeth exactly per the PNG spec. None/Up/Sub unfilter vectorized
+    (Sub is a per-byte-lane prefix sum — mod-256 addition is
+    associative, so one final mask suffices); Average and Paeth are
+    genuinely left-recurrent and take a per-pixel loop."""
     if not payload.startswith(_PNG_SIG):
         raise ValueError("not a PNG")
     i = len(_PNG_SIG)
@@ -165,15 +162,18 @@ def decode_png(payload: bytes) -> np.ndarray:
             cur = line
         elif ft == 2:  # Up
             cur = (line + prev) & 0xFF
-        elif ft in (1, 3, 4):  # Sub / Average / Paeth: left-recurrent
+        elif ft == 1:  # Sub: per-byte-lane prefix sum (vectorized)
+            cur = np.empty(w * c, np.int64)
+            for r in range(c):
+                cur[r::c] = np.cumsum(line[r::c], dtype=np.int64)
+            cur &= 0xFF
+        elif ft in (3, 4):  # Average / Paeth: genuinely left-recurrent
             cur = np.zeros(w * c, np.int32)
             for x in range(w * c):
                 a = cur[x - c] if x >= c else 0
                 b = prev[x]
                 cc = prev[x - c] if x >= c else 0
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
+                if ft == 3:
                     pred = (a + b) // 2
                 else:
                     p = a + b - cc
@@ -357,8 +357,8 @@ def _fake_decode(payload: bytes) -> np.ndarray:
 
 def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches in, numpy kernels
-    per row. PPM/WAV payloads are REALLY decoded; anything else takes
-    the marked stub path (decoded=False). At scale: repartition
+    per row. PPM/BMP/PNG/WAV payloads are REALLY decoded; anything
+    else takes the marked stub path (decoded=False). At scale: repartition
     upstream so each task holds ~(batch_size × payload) bytes;
     payloads never hit the driver."""
 
@@ -388,7 +388,8 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
                         feats.append(audio_features(s, rate).tolist())
                         decoded.append(True)
                         continue
-                except (ValueError, struct.error, IndexError):
+                except (ValueError, struct.error, IndexError,
+                        zlib.error):
                     # corrupt/truncated payload → the stub path, never
                     # a task failure (struct.error is NOT a ValueError)
                     pass
@@ -444,7 +445,8 @@ def audio_frame_sample(media: DataFrame, every_ms: int = 100) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     s, rate = decode_wav(bytes(payload))
-                except (ValueError, struct.error, IndexError):
+                except (ValueError, struct.error, IndexError,
+                        zlib.error):
                     continue  # corrupt payload → no frames, not a crash
                 if s.size == 0:
                     continue

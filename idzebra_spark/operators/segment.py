@@ -292,6 +292,48 @@ def read_lineage(spark: SparkSession, path: str) -> DataFrame | None:
         return None
 
 
+def _alphabet_to_meta(alphabet):
+    """Charmap objects serialize by their compiled pieces (the .chr
+    source isn't retained); built-in names pass through."""
+    if isinstance(alphabet, str):
+        return alphabet
+    return {"value_set": alphabet.value_set,
+            "case_src": alphabet.case_src,
+            "case_dst": alphabet.case_dst,
+            "replaces": [list(p) for p in alphabet.replaces]}
+
+
+def _alphabet_from_meta(m):
+    if isinstance(m, str):
+        return m
+    from idzebra_spark.functions.charmap import Charmap
+
+    return Charmap(m["value_set"], m["case_src"], m["case_dst"],
+                   tuple(tuple(p) for p in m["replaces"]))
+
+
+def write_build_meta(spark: SparkSession, path: str, **params) -> None:
+    """Persist the build configuration next to the register — Zebra
+    keeps zebra.cfg's charmap/index settings WITH the register (a
+    register opened with a different charmap silently misses terms;
+    storing the config removes the footgun). Written via Spark so it
+    lands on whatever filesystem the index uses."""
+    import json
+
+    spark.createDataFrame([(json.dumps(params),)], "meta string") \
+        .coalesce(1).write.mode("overwrite").text(f"{path}/build_meta")
+
+
+def read_build_meta(spark: SparkSession, path: str) -> dict | None:
+    import json
+
+    try:
+        rows = spark.read.text(f"{path}/build_meta").collect()
+        return json.loads(rows[0][0])
+    except Exception:
+        return None
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -585,6 +627,11 @@ def build_index(
     lineage_rows.unpersist()
     written.unpersist()
     src.unpersist()
+    write_build_meta(spark, path, shard_size=shard_size,
+                     block_size=block_size,
+                     store_positions=store_positions, fields=fields,
+                     alphabet=_alphabet_to_meta(alphabet),
+                     pretokenized=pretokenized)
     return {
         "batch": batch,
         "shards": out["shards"],

@@ -36,16 +36,18 @@ def test_cli_build_search_scan_info(cli_env, capsys):
                "--alphabet", cli_env["chr"], "--shard-size", "8")
     assert json.loads(out.strip().splitlines()[-1])["docs"] == 4
 
+    # NO --alphabet: the .chr charmap is adopted from the index's
+    # persisted build_meta — café still folds to cafe. --corpus is
+    # also optional: search is served from the index alone.
     out = _run(capsys, "search", "--index", cli_env["index"],
-               "--corpus", cli_env["corpus"],
-               "--alphabet", cli_env["chr"], "café OR merge", "-k", "5")
+               "café OR merge", "-k", "5")
     lines = out.strip().splitlines()
     assert lines[0].split("\t") == ["doc_id", "score_milli"]
     ids = {int(l.split("\t")[0]) for l in lines[1:]}
-    assert ids == {0, 1, 3}  # café folds to cafe via the .chr map
+    assert ids == {0, 1, 3}  # café folds to cafe via the stored map
 
     out = _run(capsys, "scan", "--index", cli_env["index"],
-               "--alphabet", cli_env["chr"], "merge", "--after", "3")
+               "merge", "--after", "3")
     assert out.splitlines()[1].startswith("merge\t")
 
     out = _run(capsys, "info", "--index", cli_env["index"])
@@ -65,10 +67,10 @@ def test_cli_fetch_and_update(cli_env, spark, capsys):
         spark.createDataFrame([(9, "added merge doc", "s9")],
                               ["doc_id", "text", "source"])
     ).write.parquet(newc)
-    _run(capsys, "update", "--index", cli_env["index"],
-         "--corpus", newc, "--alphabet", cli_env["chr"])
+    # update with NO flags: shard size, positions and the .chr
+    # alphabet all come from the index's build_meta
+    _run(capsys, "update", "--index", cli_env["index"], "--corpus", newc)
     out = _run(capsys, "search", "--index", cli_env["index"],
-               "--corpus", newc, "--alphabet", cli_env["chr"],
                "merge", "-k", "10")
     ids = {int(l.split("\t")[0]) for l in out.strip().splitlines()[1:]}
     assert 9 in ids

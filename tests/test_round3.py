@@ -312,6 +312,28 @@ def test_png_codec_roundtrip_and_filters():
         decode_png(b"nope")
 
 
+def test_corrupt_png_takes_stub_path_not_task_crash(spark):
+    """A valid-signature PNG with a corrupted deflate stream must fall
+    to the marked stub path (zlib.error is caught), never abort the
+    Spark task."""
+    import numpy as np
+
+    from idzebra_spark.operators.multimodal import (
+        MEDIA_SCHEMA, encode_png, extract_features)
+
+    rng = np.random.default_rng(3)
+    good = encode_png(rng.integers(0, 256, (4, 4, 3), dtype=np.uint8))
+    corrupt = bytearray(good)
+    corrupt[40] ^= 0xFF  # flip a byte inside the IDAT deflate stream
+    rows = [(1, "image", bytes(good),
+             {"width": 4, "height": 4, "duration_ms": 0, "codec": "png"}),
+            (2, "image", bytes(corrupt),
+             {"width": 4, "height": 4, "duration_ms": 0, "codec": "png"})]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r.decoded for r in extract_features(media).collect()}
+    assert got == {1: True, 2: False}
+
+
 # ------------------------------------------------- charmap folding
 
 def test_fold_tokenizer_goldens(spark):
