@@ -622,16 +622,19 @@ def build_index(
         F.sum("postings_emitted").alias("postings"),
         F.sum("bytes_compressed").alias("bytes"),
     ).collect()[0]
-    lineage_rows.write.mode("append").parquet(_lineage_path(path))
-    tick("lineage")
-    lineage_rows.unpersist()
-    written.unpersist()
-    src.unpersist()
+    # meta BEFORE the lineage commit: a crash in between leaves an
+    # uncommitted batch with correct meta (harmless) — the reverse
+    # would commit an index that silently opens with default settings
     write_build_meta(spark, path, shard_size=shard_size,
                      block_size=block_size,
                      store_positions=store_positions, fields=fields,
                      alphabet=_alphabet_to_meta(alphabet),
                      pretokenized=pretokenized)
+    lineage_rows.write.mode("append").parquet(_lineage_path(path))
+    tick("lineage")
+    lineage_rows.unpersist()
+    written.unpersist()
+    src.unpersist()
     return {
         "batch": batch,
         "shards": out["shards"],
