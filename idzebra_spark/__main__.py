@@ -12,6 +12,7 @@ doc/zebraidx.xml) over the Spark engine.
         --ids 1,2,3 --elements meta
     python -m idzebra_spark compact --index IDX
     python -m idzebra_spark vacuum  --index IDX
+    python -m idzebra_spark check   --index IDX [--quick]
 
 Corpora are parquet files/directories with (doc_id, text, ...) —
 zebraidx's record directories map to parquet datasets here. The
@@ -112,6 +113,12 @@ def main(argv: list[str] | None = None) -> int:
     for verb in ("info", "compact", "vacuum"):
         common(sub.add_parser(verb))
 
+    sp = sub.add_parser("check")
+    common(sp)
+    sp.add_argument("--quick", action="store_true",
+                    help="metadata cross-checks only (skip the full "
+                         "block-payload decode pass)")
+
     a = p.parse_args(argv)
 
     from idzebra_spark.api import ZebraSpark
@@ -159,6 +166,14 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(z.compact()))
     elif a.cmd == "vacuum":
         print(json.dumps({"removed": len(z.vacuum())}))
+    elif a.cmd == "check":
+        # zebra_register_check (check_res.c): nonzero exit on any
+        # violated register invariant
+        from idzebra_spark.operators.check import check_index
+
+        r = check_index(spark, a.index, full=not a.quick)
+        print(json.dumps(r))
+        return 0 if r["ok"] else 1
     return 0
 
 

@@ -100,9 +100,19 @@ class ZebraSpark:
     # ------------------------------------------------------- lifecycle
 
     def build(self, corpus: DataFrame, **kw) -> dict:
+        # Re-building an EXISTING index inherits its persisted charmap
+        # and fields unless explicitly overridden — the mirror of
+        # update(): a rebuild of a fold/.chr index must not silently
+        # tokenize new shards with 'ascii' while shards the new corpus
+        # does not touch keep old-charmap postings (mixed registers).
+        if "alphabet" not in kw and not self._alphabet_given:
+            self._load_meta()
         self._corpus = corpus
+        kw.setdefault("alphabet", self._alphabet)
+        if self._fields is not None:
+            kw.setdefault("fields", self._fields)
         self._fields = kw.get("fields", self._fields)
-        self._alphabet = kw.get("alphabet", self._alphabet)
+        self._alphabet = kw["alphabet"]
         self._alphabet_given = True   # this build defines the config
         self._meta_loaded = True
         m = build_index(self.spark, corpus, self.path,
@@ -354,6 +364,11 @@ class ZebraSpark:
         (/root/reference/index/retrieve.c:1026-1119: element set names
         select full record vs metadata vs snippet rendering). Accepts
         an id list or a (doc_id) DataFrame (a result set)."""
+        # 'head'/'index' tokenize display output — adopt the stored
+        # charmap first so the rendered terms match the real registers
+        # (an index opened from disk would otherwise fold with the
+        # default 'ascii').
+        self._load_meta()
         src = self._require_corpus()
         ids = (
             doc_ids.select(F.col("doc_id").alias(self.id_col))

@@ -55,7 +55,16 @@ def _widen(df: DataFrame) -> DataFrame:
         return df
     try:
         plan = df._jdf.queryExecution().executedPlan().toString()
-        if "Exchange" in plan or "ShuffleQueryStage" in plan:
+        # Only SHUFFLE exchanges mean the frame is already wide — a
+        # BroadcastExchange feeds a broadcast join without
+        # repartitioning its probe side, so matching bare "Exchange"
+        # would misclassify a narrow frame with one broadcast join as
+        # shuffle-wide and silently lose parallelism.
+        if ("Exchange hashpartitioning" in plan
+                or "Exchange rangepartitioning" in plan
+                or "Exchange RoundRobin" in plan
+                or "Exchange SinglePartition" in plan
+                or "ShuffleQueryStage" in plan):
             return df  # already shuffle-wide
     except Exception:
         pass
@@ -294,7 +303,16 @@ def cross_contamination(test: DataFrame, train: DataFrame, n: int = 5,
     fan-out is small. ``max_shingle_df`` drops boilerplate shingles
     seen in more than that many TRAIN docs before the join (license
     headers, generated preambles) — the skew cap for the 100-TB run;
-    leave None for the exact form the oracle mirrors."""
+    leave None for the exact form the oracle mirrors.
+
+    Cache lifecycle: the test-shingle frame (and the train frame when
+    ``max_shingle_df`` is set) is ``.cache()``d because it feeds two
+    branches of the returned plan. The CALLER owns release — call
+    ``returned_df.sparkSession.catalog.clearCache()`` (or unpersist
+    via the frame's lineage) after consuming the result when running
+    many contamination passes in one session. Unreleased entries are
+    MEMORY_AND_DISK and LRU-evicted under storage pressure, so leaks
+    degrade to recompute, never OOM."""
     sht = (shingles(test, n, text_col, id_col)
            .withColumnRenamed("doc_id", "test_id").cache())
     shr = (shingles(train, n, text_col, id_col)

@@ -407,6 +407,25 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
     return media.mapInPandas(kernel, FEATURES_SCHEMA)
 
 
+def decode_rate(features: DataFrame) -> DataFrame:
+    """Per-codec decode coverage over an :func:`extract_features`
+    output: (codec, n, n_decoded, decoded_rate_milli). PPM/BMP/PNG/
+    WAV decode for real in this container; jpeg/h264 take the marked
+    ``_fake_decode`` stub (decoded=False) — this aggregation is the
+    honest coverage report a pipeline gates on before trusting the
+    feature column (e.g. require rate=1000 for image dedup)."""
+    return (
+        features.groupBy("codec").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("decoded").cast("long")).alias("n_decoded"),
+        )
+        .withColumn(
+            "decoded_rate_milli",
+            F.floor(F.col("n_decoded") * 1000 / F.col("n")).cast("long"))
+        .orderBy("codec")
+    )
+
+
 FRAME_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
     T.StructField("ts_ms", T.IntegerType()),

@@ -312,14 +312,43 @@ def _alphabet_from_meta(m):
                    tuple(tuple(p) for p in m["replaces"]))
 
 
+def _local_fs_path(path: str) -> str | None:
+    """The plain filesystem path when ``path`` is local, else None."""
+    if path.startswith("file://"):
+        return path[7:]
+    if "://" not in path:
+        return path
+    return None
+
+
 def write_build_meta(spark: SparkSession, path: str, **params) -> None:
     """Persist the build configuration next to the register — Zebra
     keeps zebra.cfg's charmap/index settings WITH the register (a
     register opened with a different charmap silently misses terms;
-    storing the config removes the footgun). Written via Spark so it
-    lands on whatever filesystem the index uses."""
+    storing the config removes the footgun). One metadata row: written
+    driver-side on local filesystems (a whole Spark job for one row
+    was a measurable slice of small builds); the Spark text writer
+    remains the fallback so remote filesystems (hdfs/s3) still work.
+    The on-disk layout (a build_meta/ dir of text lines) is identical
+    either way. Not atomic across the rmtree+rename — but the meta is
+    written BEFORE the lineage commit, so a crash in the window leaves
+    an uncommitted batch, never a committed index without its meta."""
     import json
 
+    local = _local_fs_path(path)
+    if local is not None:
+        import os
+        import shutil
+
+        d = os.path.join(local, "build_meta")
+        tmp = d + "._tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "part-00000"), "w") as fh:
+            fh.write(json.dumps(params) + "\n")
+        shutil.rmtree(d, ignore_errors=True)
+        os.rename(tmp, d)
+        return
     spark.createDataFrame([(json.dumps(params),)], "meta string") \
         .coalesce(1).write.mode("overwrite").text(f"{path}/build_meta")
 
@@ -327,6 +356,19 @@ def write_build_meta(spark: SparkSession, path: str, **params) -> None:
 def read_build_meta(spark: SparkSession, path: str) -> dict | None:
     import json
 
+    local = _local_fs_path(path)
+    if local is not None:
+        import os
+
+        d = os.path.join(local, "build_meta")
+        try:
+            for name in sorted(os.listdir(d)):
+                if name.startswith("part-"):
+                    with open(os.path.join(d, name)) as fh:
+                        return json.loads(fh.readline())
+        except OSError:
+            return None
+        return None
     try:
         rows = spark.read.text(f"{path}/build_meta").collect()
         return json.loads(rows[0][0])
@@ -350,8 +392,16 @@ def build_index(
     fields: dict[str, list[str]] | None = None,
     alphabet: str = "ascii",
     pretokenized: bool = False,
+    cache_source: bool = True,
 ) -> dict:
     """Build (or resume) the segment index at ``path``.
+
+    ``cache_source``: the projected corpus is consumed twice (doc
+    metadata scan + tokenize scan); caching it saves the second read
+    and is right whenever the projection fits cluster storage memory.
+    For corpora near the 100 TB scale pass ``cache_source=False`` —
+    re-reading a column-pruned parquet scan is cheaper than spilling
+    terabytes of raw text through executor disks.
 
     ``fields``: optional extra indexed fields beyond the body text —
     ``{"w": ["source"], "p": ["lang"]}`` (Zebra index types: word /
@@ -453,7 +503,8 @@ def build_index(
             print(f"[build {batch}] {stage}: {now - _t:.2f}s", flush=True)
             _t = now
 
-    src = src.cache()
+    if cache_source:
+        src = src.cache()
     tick("plan")
 
     # doc_meta: per-row sha256 invariant + doclen — ONE scan, no join

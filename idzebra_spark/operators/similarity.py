@@ -83,19 +83,23 @@ def quantize_embeddings(emb: DataFrame, vec_col: str = "embedding",
     )
 
 
-def cosine_topk_q8(emb: DataFrame, query_vec: list[float], k: int = 10,
-                   vec_col: str = "embedding", id_col: str = "vec_id",
-                   exclude_id: int | None = None) -> DataFrame:
-    """Brute-force cosine top-k over int8-QUANTIZED codes:
-    (vec_id, sim_micro). The per-vector scales cancel out of the
-    cosine, so the whole kernel is integer dot products — which are
-    associative, making cross-engine result parity STRUCTURAL (the
-    float-fold cosine_topk oracle relies on summation order).
-    Quantization noise bounds the sim error at ~1/127 per component —
-    the recall pytest pins the top-k overlap vs the exact kernel."""
+def _qnorm_col() -> Column:
+    """sum of squared int8 codes (BIGINT) — the per-vector norm term
+    of the integer cosine, computable once at build time."""
+    return F.aggregate(F.col("qvec").cast("array<long>"),
+                       F.lit(0).cast("long"), lambda a, v: a + v * v)
+
+
+def _q8_topk(qframe: DataFrame, query_vec: list[float], k: int,
+             exclude_id: int | None) -> DataFrame:
+    """Integer-cosine top-k over a (vec_id, qvec, qnorm) frame — the
+    shared kernel of the live and the index-backed q8 paths. The
+    per-vector scales cancel out of the cosine, so the whole kernel
+    is integer dot products — which are associative, making
+    cross-engine result parity STRUCTURAL (the float-fold cosine_topk
+    oracle relies on summation order)."""
     import math
 
-    qemb = quantize_embeddings(emb, vec_col, id_col)
     amax = max((abs(float(x)) for x in query_vec), default=0.0)
     s = (amax / 127.0) or 1.0
     qq = [int(math.floor(float(x) / s + 0.5)) for x in query_vec]
@@ -103,20 +107,61 @@ def cosine_topk_q8(emb: DataFrame, query_vec: list[float], k: int = 10,
     codes = F.col("qvec").cast("array<long>")
     dot = F.aggregate(F.zip_with(codes, qcol, lambda x, y: x * y),
                       F.lit(0).cast("long"), lambda a, v: a + v)
-    aa = F.aggregate(codes, F.lit(0).cast("long"),
-                     lambda a, v: a + v * v)
     bb = float(sum(i * i for i in qq)) or 1.0
     sim = F.when(
-        aa > 0,
+        F.col("qnorm") > 0,
         F.round(dot.cast("double")
-                / (F.sqrt(aa.cast("double")) * F.lit(math.sqrt(bb)))
+                / (F.sqrt(F.col("qnorm").cast("double"))
+                   * F.lit(math.sqrt(bb)))
                 * 1000000, 0).cast("long"),
     )  # all-zero vectors have no direction — dropped, not NaN-ranked
-    out = qemb.select("vec_id", sim.alias("sim_micro")) \
+    out = qframe.select("vec_id", sim.alias("sim_micro")) \
         .where(F.col("sim_micro").isNotNull())
     if exclude_id is not None:
         out = out.where(F.col("vec_id") != exclude_id)
     return out.orderBy(F.desc("sim_micro"), F.asc("vec_id")).limit(k)
+
+
+def cosine_topk_q8(emb: DataFrame, query_vec: list[float], k: int = 10,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   exclude_id: int | None = None) -> DataFrame:
+    """Brute-force cosine top-k over int8-QUANTIZED codes:
+    (vec_id, sim_micro). Quantizes the corpus IN the query plan —
+    use :func:`build_q8_index` + :func:`cosine_topk_q8_indexed` for
+    repeated queries (quantization is a build product, not per-query
+    work). Quantization noise bounds the sim error at ~1/127 per
+    component — the recall pytest pins the top-k overlap vs the exact
+    kernel."""
+    qemb = quantize_embeddings(emb, vec_col, id_col) \
+        .withColumn("qnorm", _qnorm_col())
+    return _q8_topk(qemb, query_vec, k, exclude_id)
+
+
+def build_q8_index(emb: DataFrame, path: str,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> None:
+    """Persist the int8 codes as an index: (vec_id, qvec array<int>,
+    scale, qnorm) parquet — the 4× memory cut becomes a BUILD product
+    (like build_lsh_index / build_ivf_index), so a query reads ~1/4
+    the bytes of the float corpus and does zero quantization work.
+    qnorm (sum of squared codes) is precomputed so the query kernel
+    is one integer dot + one divide per row. Quantization is
+    deterministic, so rebuilds are idempotent."""
+    (
+        quantize_embeddings(emb, vec_col, id_col)
+        .withColumn("qnorm", _qnorm_col())
+        .write.mode("overwrite").parquet(path)
+    )
+
+
+def cosine_topk_q8_indexed(spark, path: str, query_vec: list[float],
+                           k: int = 10,
+                           exclude_id: int | None = None) -> DataFrame:
+    """Integer-cosine top-k over a PERSISTED q8 index — result
+    identical to :func:`cosine_topk_q8` on the source corpus (same
+    deterministic quantization), but the scan touches only the int8
+    codes and the stored norms."""
+    return _q8_topk(spark.read.parquet(path), query_vec, k, exclude_id)
 
 
 def plane_weight(p: int, d: int) -> float:

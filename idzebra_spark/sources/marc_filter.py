@@ -83,6 +83,12 @@ def parse_marc_record(buf: bytes) -> list[tuple[str, str, str, str, int]]:
         raise ValueError("bad MARC record length / terminator")
     ind_len = int(chr(buf[10])) if chr(buf[10]).isdigit() else 2
     id_len = int(chr(buf[11])) if chr(buf[11]).isdigit() else 2
+    # an identifier length of 0 would make chunk[:id_len-1] slice as
+    # chunk[:-1] below — garbage subfield codes, not a graceful
+    # default; reject the record instead (the reference only falls
+    # back to 2 for NON-digits, mod_grs_marc.c:142-150)
+    if id_len < 1:
+        raise ValueError("bad MARC leader: identifier length 0")
     base = int(buf[12:17])
     len_data = int(chr(buf[20])) if chr(buf[20]).isdigit() else 4
     len_start = int(chr(buf[21])) if chr(buf[21]).isdigit() else 5

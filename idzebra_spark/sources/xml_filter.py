@@ -104,6 +104,42 @@ def extract_records(
     return xml_df.select(*cols)
 
 
+def mapped_corpus(
+    xml_df: DataFrame,
+    mapping: dict[str, dict[str, "str | tuple[str, str]"]],
+    text_xpath: "str | tuple[str, str]" = "/record/body",
+    xml_col: str = "xml",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, dict[str, list[str]]]:
+    """Declarative dom-filter config → ``(corpus, fields)`` ready for
+    ``build_index(..., fields=fields)``.
+
+    ``mapping`` is ``{index_type: {field_name: xpath}}`` — the shape
+    of a Zebra dom-filter config section that routes XML elements to
+    named indexes with a type (``/root/reference/index/mod_dom.c``
+    processes ``<z:index name="title:w">`` attributes the same way;
+    ``recgrs.c:1360`` resolves element tables for the GRS family).
+    An xpath value may be a plain string (scalar — first match) or
+    ``(xpath, 'nodes')`` to gather all matching text nodes in
+    document order. ``text_xpath`` locates the BM25 body text.
+
+    A user indexes arbitrary XML by writing this config — no edits to
+    the filter module — and searches the mapped fields with composite
+    ``field\\x1fterm`` keys like any fielded corpus."""
+    if isinstance(text_xpath, str):
+        text_xpath = (text_xpath, "string")
+    xpaths: dict[str, tuple[str, str]] = {"text": text_xpath}
+    fields: dict[str, list[str]] = {}
+    for itype, fmap in mapping.items():
+        fields[itype] = list(fmap)
+        for col, spec in fmap.items():
+            if col == "text" or col in xpaths:
+                raise ValueError(f"duplicate mapped field {col!r}")
+            xpaths[col] = (spec, "string") if isinstance(spec, str) \
+                else (spec[0], spec[1])
+    return extract_records(xml_df, xpaths, xml_col, id_col), fields
+
+
 def xml_corpus(docs: DataFrame) -> DataFrame:
     """documents → XML → extracted corpus, ready for
     ``build_index(fields={'w': ['source', 'tags'], 'p': ['lang']})``.

@@ -102,6 +102,12 @@ def test_marc_rejects_malformed():
     bad[24:27] = b"A!Z"  # corrupt directory tag entry digits
     with pytest.raises(ValueError):
         parse_marc_record(bytes(bad))
+    # leader identifier-length digit '0' would slice subfield codes as
+    # chunk[:-1] garbage — must be rejected, not defaulted
+    bad0 = bytearray(encode_marc([("245", [("a", "title")])]))
+    bad0[11] = ord("0")
+    with pytest.raises(ValueError, match="identifier length"):
+        parse_marc_record(bytes(bad0))
 
 
 def test_marc_rejects_oversized_record():

@@ -1,0 +1,272 @@
+"""Round-4 surface: persisted q8 index, declarative XML field
+mapping, multi-database search facade, register consistency check."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from idzebra_spark.sources.corpus import load_documents
+
+    return load_documents(spark, sf_dir).cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+# ------------------------------------------------------ q8 index
+
+def test_q8_index_matches_live_path(spark, emb, tmp_path):
+    from idzebra_spark.operators.similarity import (
+        build_q8_index, cosine_topk_q8, cosine_topk_q8_indexed)
+
+    qv = [float(x) for x in
+          emb.where(F.col("vec_id") == 3).collect()[0]["embedding"]]
+    p = str(tmp_path / "q8")
+    build_q8_index(emb, p)
+    live = cosine_topk_q8(emb, qv, 10, exclude_id=3).collect()
+    idx = cosine_topk_q8_indexed(spark, p, qv, 10, exclude_id=3).collect()
+    assert [tuple(r) for r in live] == [tuple(r) for r in idx]
+
+
+def test_q8_index_stores_precomputed_norms(spark, emb, tmp_path):
+    p = str(tmp_path / "q8")
+    from idzebra_spark.operators.similarity import build_q8_index
+
+    build_q8_index(emb, p)
+    stored = spark.read.parquet(p)
+    assert {"vec_id", "qvec", "scale", "qnorm"} <= set(stored.columns)
+    r = stored.where(F.col("vec_id") == 0).collect()[0]
+    assert r["qnorm"] == sum(int(c) * int(c) for c in r["qvec"])
+    assert all(abs(int(c)) <= 127 for c in r["qvec"])
+
+
+# ------------------------------------------- declarative XML mapping
+
+def test_mapped_corpus_config_driven(spark, docs):
+    from idzebra_spark.sources.xml_filter import mapped_corpus, synth_xml
+
+    mapping = {"w": {"creator": "/record/source"},
+               "p": {"langcode": "/record/lang"}}
+    corpus, fields = mapped_corpus(synth_xml(docs.limit(50)), mapping)
+    assert fields == {"w": ["creator"], "p": ["langcode"]}
+    assert set(corpus.columns) == {"doc_id", "text", "creator", "langcode"}
+    row = corpus.join(docs.limit(50), "doc_id").select(
+        "creator", "source", "langcode", "lang").limit(5).collect()
+    for r in row:
+        assert r["creator"] == r["source"]
+        assert r["langcode"] == r["lang"]
+
+
+def test_mapped_corpus_rejects_collisions(spark, docs):
+    from idzebra_spark.sources.xml_filter import mapped_corpus, synth_xml
+
+    with pytest.raises(ValueError, match="duplicate"):
+        mapped_corpus(synth_xml(docs.limit(5)),
+                      {"w": {"text": "/record/source"}})
+
+
+def test_mapped_fields_end_to_end(spark, docs, tmp_path):
+    from idzebra_spark.operators.boolean import fielded_term
+    from idzebra_spark.operators.segment import build_index
+    from idzebra_spark.operators.wand import SegmentIndex
+    from idzebra_spark.sources.xml_filter import mapped_corpus, synth_xml
+
+    mapping = {"w": {"creator": "/record/source",
+                     "kind": ("/record/tag/text()", "nodes")}}
+    corpus, fields = mapped_corpus(synth_xml(docs), mapping)
+    p = str(tmp_path / "idx")
+    build_index(spark, corpus, p, shard_size=64, block_size=32,
+                fields=fields)
+    idx = SegmentIndex(spark, p)
+    got = sorted(
+        r["doc_id"] for r in idx.eval_tree(
+            ("and", [("term", fielded_term("creator", "src13")),
+                     ("term", fielded_term("kind", "d5"))])).collect())
+    want = sorted(
+        r["doc_id"] for r in docs.where(
+            (F.lower("source") == "src13")
+            & (F.col("doc_id") % 7 == 5)).collect())
+    assert got == want and got
+
+
+# ------------------------------------------------ multi-db search
+
+@pytest.fixture(scope="module")
+def multidb(spark, docs, tmp_path_factory):
+    from idzebra_spark.operators.multidb import open_databases
+    from idzebra_spark.operators.segment import build_index
+    from idzebra_spark.operators.wand import SegmentIndex
+
+    base = tmp_path_factory.mktemp("multidb")
+    paths = []
+    for i in range(2):
+        p = str(base / f"db{i}")
+        build_index(spark, docs.where(F.col("doc_id") % 2 == i), p,
+                    shard_size=64, block_size=32)
+        paths.append(p)
+    single = str(base / "single")
+    build_index(spark, docs, single, shard_size=64, block_size=32)
+    return open_databases(spark, paths), SegmentIndex(spark, single)
+
+
+def test_multidb_stats_match_single_index(multidb):
+    multi, single = multidb
+    assert multi.stats() == single.stats()
+
+
+def test_multidb_dictionary_merged(multidb):
+    multi, single = multidb
+    m = {r["term"]: (r["df"], r["cf"], r["max_tf"])
+         for r in multi.dictionary().collect()}
+    s = {r["term"]: (r["df"], r["cf"], r["max_tf"])
+         for r in single.dictionary().collect()}
+    assert m == s
+
+
+def test_multidb_topk_score_identical(multidb):
+    multi, single = multidb
+    for terms, mode in ([["merge", "sort"], "or"],
+                        [["spark", "query"], "and"],
+                        [["the", "data", "key"], "or"]):
+        m = [tuple(r) for r in multi.topk(terms, 10, mode).collect()]
+        s = [tuple(r) for r in single.topk(terms, 10, mode).collect()]
+        assert m == s, (terms, mode)
+
+
+def test_multidb_phrase_and_tree(multidb):
+    multi, single = multidb
+    m = [tuple(r) for r in multi.phrase(["batch", "batch"], 10).collect()]
+    s = [tuple(r) for r in single.phrase(["batch", "batch"], 10).collect()]
+    assert m == s
+    tree = ("and", [("or", [("term", "merge"), ("term", "sort")]),
+                    ("term", "scan")])
+    mt = sorted(r["doc_id"] for r in multi.eval_tree(tree).collect())
+    st = sorted(r["doc_id"] for r in single.eval_tree(tree).collect())
+    assert mt == st
+
+
+def test_multidb_requires_paths(spark):
+    from idzebra_spark.operators.multidb import MultiSegmentIndex
+
+    with pytest.raises(ValueError):
+        MultiSegmentIndex(spark, [])
+
+
+# -------------------------------------------- decode-rate reporting
+
+def test_decode_rate_reports_stub_fraction(spark):
+    from idzebra_spark.operators.multimodal import (
+        decode_rate, extract_features, synth_media)
+
+    rates = {r["codec"]: r for r in
+             decode_rate(extract_features(synth_media(spark, 60))).collect()}
+    # real codecs decode fully; compressed-media stubs are honest 0s
+    for codec, r in rates.items():
+        if codec in ("ppm", "bmp", "png", "wav"):
+            assert r["decoded_rate_milli"] == 1000, codec
+        elif codec in ("jpeg", "h264"):
+            assert r["decoded_rate_milli"] == 0, codec
+        assert r["n"] >= r["n_decoded"]
+
+
+# ------------------------------------------------ consistency check
+
+@pytest.fixture()
+def small_index(spark, docs, tmp_path):
+    from idzebra_spark.operators.segment import build_index
+
+    p = str(tmp_path / "idx")
+    build_index(spark, docs.limit(200), p, shard_size=64, block_size=32)
+    return p
+
+
+def test_check_clean_index_passes(spark, small_index):
+    from idzebra_spark.operators.check import check_index
+
+    r = check_index(spark, small_index)
+    assert r["ok"], r
+    assert all(v == 0 for v in r["violations"].values())
+
+
+def test_check_catches_missing_norms(spark, docs, tmp_path):
+    import shutil
+
+    from idzebra_spark.operators.check import check_index
+    from idzebra_spark.operators.segment import build_index, update_index
+
+    p = str(tmp_path / "idx")
+    build_index(spark, docs.limit(200), p, shard_size=64, block_size=32)
+    update_index(spark, docs.limit(260), p)
+    # drop the UPDATE batch's norms: the register still opens (batch 0
+    # remains) but the live updated shards have no norm rows
+    shutil.rmtree(f"{p}/norms/batch=b00001")
+    r = check_index(spark, p, full=False)
+    assert not r["ok"]
+    assert r["violations"]["norms_vs_doc_meta"] > 0
+    assert r["violations"]["lineage_vs_norms"] > 0
+
+
+def test_check_reports_unreadable_register(spark, small_index):
+    import shutil
+
+    from idzebra_spark.operators.check import check_index
+
+    shutil.rmtree(f"{small_index}/norms")
+    r = check_index(spark, small_index)
+    assert not r["ok"]
+    assert r["violations"].get("unreadable_register") == 1
+
+
+def test_check_catches_corrupt_payload(spark, small_index):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from idzebra_spark.operators.check import check_index
+
+    # truncate one block's docids payload: metadata still says n_docs
+    # rows, the varint stream decodes short → payload violation (and
+    # the truncated stream no longer matches the dictionary partials)
+    files = sorted(glob.glob(f"{small_index}/blocks/batch=*/*.parquet"))
+    orig = pq.read_table(files[0])
+    t = orig.to_pandas()
+    t.loc[0, "docids_bin"] = bytes(t.loc[0, "docids_bin"])[:1]
+    import pyarrow as pa
+
+    # preserve the exact parquet schema (pandas would widen int32 →
+    # int64 and break the multi-file scan)
+    pq.write_table(pa.Table.from_pandas(t, schema=orig.schema), files[0])
+    # drop the stale Hadoop CRC sidecar — otherwise the FS layer
+    # reports the rewrite as a checksum error before the decode check
+    # ever sees the payload (also a catch, but not the one under test)
+    crc = os.path.join(os.path.dirname(files[0]),
+                       "." + os.path.basename(files[0]) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    spark.catalog.clearCache()
+    r = check_index(spark, small_index)
+    assert not r["ok"]
+    assert r["violations"]["block_payload_decode"] > 0
+
+
+def test_check_cli_verb(spark, docs, tmp_path, capsys):
+    from idzebra_spark.__main__ import main
+    from idzebra_spark.operators.segment import build_index
+
+    p = str(tmp_path / "idx")
+    build_index(spark, docs.limit(100), p, shard_size=64, block_size=32)
+    assert main(["check", "--index", p]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ok"] is True
+
+    import shutil
+
+    shutil.rmtree(f"{p}/norms/batch=b00000")
+    assert main(["check", "--index", p, "--quick"]) == 1
