@@ -6,6 +6,7 @@ doc/zebraidx.xml) over the Spark engine.
     python -m idzebra_spark update  --index IDX --corpus docs2.parquet
     python -m idzebra_spark search  --index IDX --corpus docs.parquet \\
         '(merge OR sort) AND scan' -k 10
+    python -m idzebra_spark search  --index IDX1,IDX2 'merge'   # multi-db
     python -m idzebra_spark scan    --index IDX merge --after 5
     python -m idzebra_spark info    --index IDX
     python -m idzebra_spark fetch   --index IDX --corpus docs.parquet \\
@@ -132,7 +133,13 @@ def main(argv: list[str] | None = None) -> int:
     corpus = None
     if getattr(a, "corpus", None):
         corpus = spark.read.parquet(a.corpus)
-    z = ZebraSpark(spark, a.index, corpus=corpus, alphabet=alphabet)
+    # read verbs accept a comma-separated DATABASE LIST (multi-db
+    # search facade, zebraapi.c:1079-1112); write verbs need one path
+    index = (a.index.split(",")
+             if "," in a.index and a.cmd in ("search", "scan", "fetch",
+                                             "info")
+             else a.index)
+    z = ZebraSpark(spark, index, corpus=corpus, alphabet=alphabet)
 
     if a.cmd in ("build", "update"):
         # pass only what the user gave: update's defaults come from

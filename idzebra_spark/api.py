@@ -89,7 +89,7 @@ class ZebraSpark:
         from idzebra_spark.operators.segment import (
             _alphabet_from_meta, read_build_meta)
 
-        m = read_build_meta(self.spark, self.path)
+        m = read_build_meta(self.spark, self._meta_path())
         self._build_meta = m
         if m:
             if not self._alphabet_given:
@@ -100,6 +100,7 @@ class ZebraSpark:
     # ------------------------------------------------------- lifecycle
 
     def build(self, corpus: DataFrame, **kw) -> dict:
+        self._require_single_path("build")
         # Re-building an EXISTING index inherits its persisted charmap
         # and fields unless explicitly overridden — the mirror of
         # update(): a rebuild of a fold/.chr index must not silently
@@ -122,6 +123,7 @@ class ZebraSpark:
         return m
 
     def update(self, new_corpus: DataFrame, **kw) -> dict:
+        self._require_single_path("update")
         # an update MUST run under the build's settings — defaults
         # come from the persisted build_meta so an incremental sync
         # can never silently mix shard sizes, alphabets or position
@@ -144,6 +146,7 @@ class ZebraSpark:
         return m
 
     def compact(self) -> dict:
+        self._require_single_path("compact")
         m = compact_index(self.spark, self.path)
         self._idx = None
         return m
@@ -152,6 +155,7 @@ class ZebraSpark:
         """Drop orphan batch directories (superseded by compaction or
         crashed mid-build — invisible to readers either way). Local-FS
         implementation; on object storage this is a lifecycle job."""
+        self._require_single_path("vacuum")
         import shutil
 
         lineage = self.spark.read.parquet(f"{self.path}/lineage")
@@ -180,9 +184,33 @@ class ZebraSpark:
     @property
     def index(self) -> SegmentIndex:
         if self._idx is None:
-            self._idx = SegmentIndex(self.spark, self.path,
-                                     cache_hot=self.cache_hot)
+            if isinstance(self.path, (list, tuple)):
+                # multi-database handle (zebra_search_RPN_x database
+                # lists): every query surface works over the union;
+                # write verbs reject it (each member updates itself)
+                from idzebra_spark.operators.multidb import (
+                    MultiSegmentIndex)
+
+                self._idx = MultiSegmentIndex(
+                    self.spark, list(self.path), cache_hot=self.cache_hot)
+            else:
+                self._idx = SegmentIndex(self.spark, self.path,
+                                         cache_hot=self.cache_hot)
         return self._idx
+
+    def _meta_path(self) -> str:
+        # multi-db: adopt the FIRST member's persisted config (members
+        # must share a charmap for scores to be comparable — enforced
+        # socially, like Zebra's shared zebra.cfg across databases)
+        return self.path[0] if isinstance(self.path, (list, tuple)) \
+            else self.path
+
+    def _require_single_path(self, verb: str) -> None:
+        if isinstance(self.path, (list, tuple)):
+            raise ValueError(
+                f"{verb} needs a single index path — a multi-database "
+                "handle is read-only (update each member, then search "
+                "the list)")
 
     @property
     def ops(self) -> PostingsOps:

@@ -2,16 +2,17 @@
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``
 kernels.
 
-The decode step is REAL for pure-numpy-reachable formats — PPM (P6),
+The decode step is REAL for every image/audio format here — PPM (P6),
 BMP (24-bit BI_RGB, bottom-up + stride padding), PNG (zlib inflate +
-full Sub/Up/Average/Paeth scanline unfilter — zlib is stdlib, so this
-is a genuinely COMPRESSED codec) and a RIFF/WAV PCM-16 audio codec
-(no external libraries needed). Codecs needing codec libraries
-(jpeg/h264/...) remain
-STUBBED behind ``_fake_decode`` (the container has no media libs);
-swapping the stub for PIL/ffmpeg is a body-only change inside the
-kernel. The Spark-side plumbing — schema, partition sizing, UDF
-signatures, Arrow batch shapes — is identical either way.
+full Sub/Up/Average/Paeth scanline unfilter), baseline JPEG (from-
+scratch Huffman + DCT codec, ``functions/jpeg.py``) and a RIFF/WAV
+PCM-16 audio codec — no external libraries. Only video (h264)
+remains STUBBED behind ``_fake_decode`` (a video codec is genuinely
+out of scope without ffmpeg); swapping the stub is a body-only change
+inside the kernel, and :func:`decode_rate` reports the per-codec
+real-decode fraction so pipelines can gate on it. The Spark-side
+plumbing — schema, partition sizing, UDF signatures, Arrow batch
+shapes — is identical either way.
 """
 
 from __future__ import annotations
@@ -26,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from idzebra_spark.functions.jpeg import decode_jpeg, encode_jpeg
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
@@ -320,9 +323,10 @@ def synth_media(spark: SparkSession, n_rows: int, seed: int = 42) -> DataFrame:
                 if kind == 0:
                     w, h = 8 + int(mid) % 9, 6 + int(mid) % 7
                     img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-                    codec = ["ppm", "bmp", "png"][(int(mid) // 3) % 3]
+                    codec = ["ppm", "bmp", "png", "jpeg"][(int(mid) // 3) % 4]
                     payload = {"ppm": encode_ppm, "bmp": encode_bmp,
-                               "png": encode_png}[codec](img)
+                               "png": encode_png,
+                               "jpeg": encode_jpeg}[codec](img)
                     meta = {"width": w, "height": h, "duration_ms": 0,
                             "codec": codec}
                     rows.append((int(mid), "image", payload, meta))
@@ -357,10 +361,11 @@ def _fake_decode(payload: bytes) -> np.ndarray:
 
 def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches in, numpy kernels
-    per row. PPM/BMP/PNG/WAV payloads are REALLY decoded; anything
-    else takes the marked stub path (decoded=False). At scale: repartition
-    upstream so each task holds ~(batch_size × payload) bytes;
-    payloads never hit the driver."""
+    per row. PPM/BMP/PNG/JPEG/WAV payloads are REALLY decoded;
+    anything else (video) takes the marked stub path (decoded=False —
+    see :func:`decode_rate`). At scale: repartition upstream so each
+    task holds ~(batch_size × payload) bytes; payloads never hit the
+    driver."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -383,15 +388,21 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
                         feats.append(image_features(img).tolist())
                         decoded.append(True)
                         continue
+                    if codec == "jpeg":
+                        feats.append(
+                            image_features(decode_jpeg(b)).tolist())
+                        decoded.append(True)
+                        continue
                     if codec == "wav":
                         s, rate = decode_wav(b)
                         feats.append(audio_features(s, rate).tolist())
                         decoded.append(True)
                         continue
-                except (ValueError, struct.error, IndexError,
+                except (ValueError, struct.error, IndexError, KeyError,
                         zlib.error):
                     # corrupt/truncated payload → the stub path, never
-                    # a task failure (struct.error is NOT a ValueError)
+                    # a task failure (struct.error is NOT a ValueError;
+                    # KeyError = a jpeg referencing an undefined table)
                     pass
                 feats.append(_fake_decode(b).tolist())
                 decoded.append(False)

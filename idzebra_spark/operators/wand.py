@@ -1054,6 +1054,23 @@ class SegmentIndex:
     def _empty_result(self) -> DataFrame:
         return self.spark.createDataFrame([], RESULT_SCHEMA)
 
+    def _pin(self, df: DataFrame) -> DataFrame:
+        """Pin the kernel stage's task count (repartition by shard
+        with an EXPLICIT numPartitions). AQE's size-based coalesce is
+        right for data-proportional stages but wrong for these
+        CPU-bound decode+score kernels: the pruned block payload of a
+        16-term batch is a few MB, so AQE folds the cogroup to 3-5
+        tasks regardless of cores — and a task count that is not a
+        multiple of the core count leaves a one-task straggler wave
+        (measured at 4 cores: batch-1024 serving 71 → 102 q/s once
+        pinned). A user-specified numPartitions is exempt from AQE
+        coalescing, and hash-partitioning by shard satisfies the
+        cogroup's required distribution, so this replaces — not
+        duplicates — the shuffle the cogroup would insert."""
+        n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        p = max(n, self.spark.sparkContext.defaultParallelism)
+        return df.repartition(p, "shard")
+
     def _run(self, terms_info, avgdl, mode, theta, k,
              neg_terms=()) -> DataFrame:
         terms = [t for t, _ in terms_info]
@@ -1068,8 +1085,8 @@ class SegmentIndex:
         kernel = _shard_kernel(term_idf, order, avgdl, mode, theta, k,
                                neg_terms=neg_terms)
         return (
-            blk.groupBy("shard")
-            .cogroup(nrm.groupBy("shard"))
+            self._pin(blk).groupBy("shard")
+            .cogroup(self._pin(nrm).groupBy("shard"))
             .applyInPandas(kernel, TOPK_SCHEMA)
         )
 
@@ -1157,8 +1174,8 @@ class SegmentIndex:
         nrm = self.norms.join(blk.select("shard").distinct(), "shard", "semi")
         kernel = _multi_query_kernel(specs, avgdl, k)
         out = (
-            blk.groupBy("shard")
-            .cogroup(nrm.groupBy("shard"))
+            self._pin(blk).groupBy("shard")
+            .cogroup(self._pin(nrm).groupBy("shard"))
             .applyInPandas(kernel, BATCH_TOPK_SCHEMA)
         )
         from pyspark.sql.window import Window
@@ -1392,8 +1409,8 @@ class SegmentIndex:
         nrm = self.norms.join(blk.select("shard").distinct(), "shard", "semi")
         kernel = _rset_kernel(tree, term_idf, avgdl, rank_order, k)
         return (
-            blk.groupBy("shard")
-            .cogroup(nrm.groupBy("shard"))
+            self._pin(blk).groupBy("shard")
+            .cogroup(self._pin(nrm).groupBy("shard"))
             .applyInPandas(kernel, RSET_SCHEMA)
         )
 
@@ -1465,8 +1482,8 @@ class SegmentIndex:
                               "semi")
         kernel = _rset_kernel_many(specs, avgdl, k)
         out = (
-            blk.groupBy("shard")
-            .cogroup(nrm.groupBy("shard"))
+            self._pin(blk).groupBy("shard")
+            .cogroup(self._pin(nrm).groupBy("shard"))
             .applyInPandas(kernel, BATCH_TOPK_SCHEMA)
         )
         from pyspark.sql.window import Window
@@ -1540,7 +1557,8 @@ class SegmentIndex:
             [t for t, _ in sorted(terms_info, key=lambda x: x[1]["df"])],
             avgdl, mode, 0.0, None,
         )
-        rows = blk.groupBy("shard").cogroup(nrm.groupBy("shard")).applyInPandas(
+        rows = self._pin(blk).groupBy("shard").cogroup(
+            self._pin(nrm).groupBy("shard")).applyInPandas(
             kernel, TOPK_SCHEMA
         )
         if mode == "and":
@@ -1554,7 +1572,7 @@ class SegmentIndex:
         have been built with store_positions=True."""
         terms_l = [t.lower() for t in terms]
         blk = self.blocks.where(F.col("term").isin(sorted(set(terms_l))))
-        out = blk.groupBy("shard").applyInPandas(
+        out = self._pin(blk).groupBy("shard").applyInPandas(
             _phrase_kernel(terms_l), PHRASE_SCHEMA
         )
         return out.orderBy(F.asc("doc_id")).limit(k)

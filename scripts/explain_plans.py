@@ -164,6 +164,42 @@ def main() -> None:
         explain_str(dd),
     ))
 
+    from idzebra_spark.operators.similarity import (
+        build_q8_index, cosine_topk_q8_indexed)
+    q8_path = tempfile.mkdtemp(prefix="plans_q8_") + "/q8"
+    build_q8_index(emb, q8_path)
+    qp = cosine_topk_q8_indexed(spark, q8_path, qv, 10, exclude_id=0)
+    sections.append((
+        "Persisted q8 index probe (column-pruned integer kernel)",
+        "The query reads ONLY (vec_id, qvec, qnorm) from the q8 "
+        "parquet (ReadSchema pruning — the float corpus is never "
+        "touched), computes one integer dot per row against literal "
+        "query codes, and bounds with TakeOrderedAndProject. No "
+        "quantization work appears anywhere in the plan: it was all "
+        "paid at build time.",
+        explain_str(qp),
+    ))
+
+    from idzebra_spark.operators.multidb import open_databases
+    db_paths = []
+    for i in range(2):
+        p = tempfile.mkdtemp(prefix=f"plans_db{i}_") + "/idx"
+        build_index(spark, docs.where(F.col("doc_id") % 2 == i), p,
+                    shard_size=128, block_size=64)
+        db_paths.append(p)
+    multi = open_databases(spark, db_paths)
+    mp = multi.topk(["merge", "sort"], 10, "or")
+    sections.append((
+        "Multi-database search (per-member pruned scans, one kernel)",
+        "The union facade must push `term IN (...)` into EVERY "
+        "member's parquet scan (two PushedFilters block scans below "
+        "one Union), then run the SAME single cogrouped kernel — "
+        "stride-disjoint shard ids mean no member's shards ever "
+        "co-group with another's. Adding a database adds a pruned "
+        "scan, not a shuffle.",
+        explain_str(mp),
+    ))
+
     md = ["# PLANS — physical-plan evidence\n",
           "Generated by `scripts/explain_plans.py` (sf0.001, local[8]).\n"]
     for title, why, plan in sections:

@@ -57,11 +57,12 @@ def test_multimodal_feature_plumbing(spark):
         assert len(r.features) == FEATURE_DIM
         assert all(x == x for x in r.features)  # no NaNs
         assert r.n_bytes > 0
-        # PPM/BMP/PNG/WAV payloads REALLY decode; the h264 stub is
-        # marked
-        assert r.decoded == (r.codec in ("ppm", "bmp", "png", "wav"))
-    assert {r.codec for r in rows} == {"ppm", "bmp", "png", "wav",
-                                       "h264-stub"}
+        # PPM/BMP/PNG/JPEG/WAV payloads REALLY decode; the h264 stub
+        # is marked
+        assert r.decoded == (r.codec in ("ppm", "bmp", "png", "jpeg",
+                                         "wav"))
+    assert {r.codec for r in rows} == {"ppm", "bmp", "png", "jpeg",
+                                       "wav", "h264-stub"}
     # determinism: same payload → same features
     again = {r.media_id: r.features for r in extract_features(media).collect()}
     assert all(again[r.media_id] == r.features for r in rows)

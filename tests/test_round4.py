@@ -151,6 +151,34 @@ def test_multidb_phrase_and_tree(multidb):
     assert mt == st
 
 
+def test_zebra_facade_and_cli_database_list(spark, docs, tmp_path, capsys):
+    from idzebra_spark.__main__ import main
+    from idzebra_spark.api import ZebraSpark
+    from idzebra_spark.operators.segment import build_index
+
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"db{i}")
+        build_index(spark, docs.where(F.col("doc_id") % 2 == i), p,
+                    shard_size=64, block_size=32)
+        paths.append(p)
+    single = str(tmp_path / "single")
+    build_index(spark, docs, single, shard_size=64, block_size=32)
+
+    z = ZebraSpark(spark, paths)
+    zs = ZebraSpark(spark, single)
+    got = [tuple(r) for r in z.search("merge OR sort", 10).collect()]
+    want = [tuple(r) for r in zs.search("merge OR sort", 10).collect()]
+    assert got == want and got
+    with pytest.raises(ValueError, match="read-only"):
+        z.update(docs)
+    with pytest.raises(ValueError, match="read-only"):
+        z.compact()
+
+    assert main(["search", "--index", ",".join(paths), "merge"]) == 0
+    assert "doc_id" in capsys.readouterr().out
+
+
 def test_multidb_requires_paths(spark):
     from idzebra_spark.operators.multidb import MultiSegmentIndex
 
@@ -166,13 +194,15 @@ def test_decode_rate_reports_stub_fraction(spark):
 
     rates = {r["codec"]: r for r in
              decode_rate(extract_features(synth_media(spark, 60))).collect()}
-    # real codecs decode fully; compressed-media stubs are honest 0s
+    # real codecs (jpeg included as of round 4) decode fully; the
+    # remaining video stub is an honest 0
     for codec, r in rates.items():
-        if codec in ("ppm", "bmp", "png", "wav"):
+        if codec in ("ppm", "bmp", "png", "jpeg", "wav"):
             assert r["decoded_rate_milli"] == 1000, codec
-        elif codec in ("jpeg", "h264"):
+        elif codec.startswith("h264"):
             assert r["decoded_rate_milli"] == 0, codec
         assert r["n"] >= r["n_decoded"]
+    assert "jpeg" in rates
 
 
 # ------------------------------------------------ consistency check
