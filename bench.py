@@ -122,10 +122,13 @@ def main() -> None:
         batch_queries[f"q{i:02d}"] = {
             "terms": [t1, t2], "mode": "and" if i % 4 == 0 else "or",
         }
-    t = time.perf_counter()
-    for q in batch_queries.values():
-        idx.topk(q["terms"], 10, q["mode"]).collect()
-    serial_sec = time.perf_counter() - t
+    serial_sec = None
+    for _ in range(2):  # min-of-2 (multi-second op, per methodology)
+        t = time.perf_counter()
+        for q in batch_queries.values():
+            idx.topk(q["terms"], 10, q["mode"]).collect()
+        dt = time.perf_counter() - t
+        serial_sec = dt if serial_sec is None else min(serial_sec, dt)
     timings["q_batch16_serial"] = round(serial_sec, 4)
     batched_sec = run("q_batch16_batched",
                       lambda: idx.topk_many(batch_queries, 10).collect())
@@ -165,10 +168,14 @@ def main() -> None:
         q = [f'"{t1} {t2}"', f"{t1} NEAR/3 {t2}",
              f"({t1} OR {t2}) AND scan", f"sc* AND {t2}"][i % 4]
         tree_batch[f"t{i}"] = _parse(q).root.to_rset_tree()
-    t = time.perf_counter()
-    for tr in tree_batch.values():
-        idx.search_tree(tr, 10).collect()
-    tree_serial_sec = time.perf_counter() - t
+    tree_serial_sec = None
+    for _ in range(2):
+        t = time.perf_counter()
+        for tr in tree_batch.values():
+            idx.search_tree(tr, 10).collect()
+        dt = time.perf_counter() - t
+        tree_serial_sec = dt if tree_serial_sec is None \
+            else min(tree_serial_sec, dt)
     timings["q_tree8_serial"] = round(tree_serial_sec, 4)
     run("q_tree8_batched",
         lambda: idx.search_tree_many(tree_batch, 10).collect())

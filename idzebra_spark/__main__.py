@@ -176,6 +176,10 @@ def main(argv: list[str] | None = None) -> int:
     elif a.cmd == "check":
         # zebra_register_check (check_res.c): nonzero exit on any
         # violated register invariant
+        if "," in a.index:
+            raise SystemExit(
+                "check takes a single index path — run it per member "
+                "(database lists are for the read verbs)")
         from idzebra_spark.operators.check import check_index
 
         r = check_index(spark, a.index, full=not a.quick)

@@ -106,8 +106,11 @@ class ZebraSpark:
         # update(): a rebuild of a fold/.chr index must not silently
         # tokenize new shards with 'ascii' while shards the new corpus
         # does not touch keep old-charmap postings (mixed registers).
-        if "alphabet" not in kw and not self._alphabet_given:
-            self._load_meta()
+        # Always consult the stored meta: _load_meta only fills in
+        # what was NOT explicitly given, so overriding one setting
+        # (say, the alphabet) cannot silently discard an unrelated
+        # persisted one (say, the fields map).
+        self._load_meta()
         self._corpus = corpus
         kw.setdefault("alphabet", self._alphabet)
         if self._fields is not None:
@@ -115,9 +118,15 @@ class ZebraSpark:
         self._fields = kw.get("fields", self._fields)
         self._alphabet = kw["alphabet"]
         self._alphabet_given = True   # this build defines the config
-        self._meta_loaded = True
         m = build_index(self.spark, corpus, self.path,
                         text_col=self.text_col, id_col=self.id_col, **kw)
+        # the build just PERSISTED a (possibly new) config — drop the
+        # cached pre-build meta so a same-session update() re-reads
+        # the fresh build_meta instead of inheriting stale shard
+        # sizes (the exact mixed-register corruption update guards
+        # against)
+        self._meta_loaded = False
+        self._build_meta = None
         self._idx = None
         self._ops = None
         return m

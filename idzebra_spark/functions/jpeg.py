@@ -11,8 +11,11 @@ Huffman entropy coding:
   code-length algorithm with the 16-bit cap adjustment) — no
   hardcoded Annex K tables to mistype;
 - the DECODER is generic over the DHT segments in the stream, so it
-  reads any baseline 4:4:4 (or 4:2:0/4:2:2 via box upsampling) JPEG,
-  not just this encoder's output;
+  reads baseline 4:4:4 (or 4:2:0/4:2:2 via box upsampling) JPEGs
+  beyond this encoder's output, provided the image uses ONE
+  interleaved 3-component scan (the overwhelmingly common baseline
+  layout; non-interleaved multi-scan files raise a clear
+  ValueError and fall to the pipeline's marked stub path);
 - DCT/IDCT are the orthonormal matrix form (``T @ B @ T.T``), exact
   inverses up to float rounding, so round-trip error is bounded by
   quantization alone (pinned by test).
@@ -205,6 +208,9 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     h, w = img.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if h > 65535 or w > 65535:
+        raise ValueError("image dimension exceeds JPEG's 16-bit "
+                         "SOF0 height/width fields")
     r = img[:, :, 0].astype(np.float64)
     g = img[:, :, 1].astype(np.float64)
     b = img[:, :, 2].astype(np.float64)
@@ -410,6 +416,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while True:
         if payload[i] != 0xFF:
             raise ValueError("bad marker sync")
+        # legal fill bytes: any number of 0xFF may pad before a marker
+        # (B.1.1.2)
+        while payload[i + 1] == 0xFF:
+            i += 1
         marker = payload[i + 1]
         i += 2
         if marker == 0xD9:
@@ -447,6 +457,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:
             ns = body[0]
+            if ns != 3:
+                raise ValueError(
+                    "non-interleaved / multi-scan baseline JPEG "
+                    "unsupported (this decoder reads one interleaved "
+                    "3-component scan)")
             scan = []
             for c in range(ns):
                 cs, tt = body[1 + 2 * c:3 + 2 * c]

@@ -421,10 +421,11 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
 def decode_rate(features: DataFrame) -> DataFrame:
     """Per-codec decode coverage over an :func:`extract_features`
     output: (codec, n, n_decoded, decoded_rate_milli). PPM/BMP/PNG/
-    WAV decode for real in this container; jpeg/h264 take the marked
+    JPEG/WAV decode for real; only video (h264) takes the marked
     ``_fake_decode`` stub (decoded=False) — this aggregation is the
     honest coverage report a pipeline gates on before trusting the
-    feature column (e.g. require rate=1000 for image dedup)."""
+    feature column (e.g. require rate=1000 for image dedup; corrupt
+    payloads of any codec also land in the stub bucket)."""
     return (
         features.groupBy("codec").agg(
             F.count("*").alias("n"),

@@ -313,12 +313,27 @@ def _alphabet_from_meta(m):
 
 
 def _local_fs_path(path: str) -> str | None:
-    """The plain filesystem path when ``path`` is local, else None."""
-    if path.startswith("file://"):
-        return path[7:]
-    if "://" not in path:
-        return path
-    return None
+    """The plain filesystem path when ``path`` is local, else None.
+
+    Handles every Hadoop-accepted local spelling — ``/x``,
+    ``file:/x``, ``file:///x`` — and rejects anything with a non-file
+    scheme (``hdfs:/x``, ``s3a://b/x``) or a file URI with an
+    authority (``file://host/x``): those must go through the Spark
+    writer, and returning them verbatim would create a literal
+    ``file:`` directory under the driver's cwd."""
+    import re
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):(.*)$", path)
+    if m is None:
+        return path  # no scheme: a plain local path
+    scheme, rest = m.group(1).lower(), m.group(2)
+    if scheme != "file":
+        return None
+    if rest.startswith("//"):
+        rest = rest[2:]
+        if not rest.startswith("/"):
+            return None  # file://host/x — an authority, not local
+    return rest or None
 
 
 def write_build_meta(spark: SparkSession, path: str, **params) -> None:

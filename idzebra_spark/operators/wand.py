@@ -1067,8 +1067,11 @@ class SegmentIndex:
         coalescing, and hash-partitioning by shard satisfies the
         cogroup's required distribution, so this replaces — not
         duplicates — the shuffle the cogroup would insert."""
-        n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        p = max(n, self.spark.sparkContext.defaultParallelism)
+        try:  # the setting may be non-numeric ("auto" on some platforms)
+            n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            n = 0
+        p = max(n, self.spark.sparkContext.defaultParallelism, 1)
         return df.repartition(p, "shard")
 
     def _run(self, terms_info, avgdl, mode, theta, k,

@@ -125,6 +125,18 @@ def test_rejects_malformed():
         decode_jpeg(bytes(buf))
 
 
+def test_rejects_oversize_dimensions():
+    with pytest.raises(ValueError, match="16-bit"):
+        encode_jpeg(np.zeros((70000, 8, 3), dtype=np.uint8))
+
+
+def test_fill_bytes_before_markers_tolerated():
+    buf = encode_jpeg(_smooth(8, 8))
+    i = buf.index(b"\xff\xdb")
+    padded = buf[:i] + b"\xff\xff" + buf[i:]  # legal B.1.1.2 padding
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(buf))
+
+
 def test_truncated_stream_raises_not_hangs():
     buf = encode_jpeg(_smooth(16, 16))
     with pytest.raises((ValueError, struct.error, IndexError, KeyError)):

@@ -186,6 +186,55 @@ def test_multidb_requires_paths(spark):
         MultiSegmentIndex(spark, [])
 
 
+def test_build_then_update_same_session_inherits_config(spark, docs,
+                                                        tmp_path):
+    """A same-session build→update must run the update under the
+    build's just-persisted settings (shard_size here): stale cached
+    meta would diff shards on a different id basis and duplicate
+    docs across shard spaces."""
+    from idzebra_spark.api import ZebraSpark
+
+    p = str(tmp_path / "idx")
+    z = ZebraSpark(spark, p)
+    z.build(docs.limit(100), shard_size=64, block_size=32,
+            alphabet="ascii")
+    z.update(docs.limit(120))
+    n, _ = z.index.stats()
+    assert n == 120
+
+
+def test_build_inherits_persisted_fields_on_rebuild(spark, docs,
+                                                    tmp_path):
+    from idzebra_spark.api import ZebraSpark
+    from idzebra_spark.operators.boolean import fielded_term
+
+    p = str(tmp_path / "idx")
+    ZebraSpark(spark, p).build(docs.limit(80), shard_size=64,
+                               block_size=32,
+                               fields={"w": ["source"]})
+    # rebuild with ONLY the alphabet overridden: the persisted fields
+    # map must survive (overriding one setting cannot drop another)
+    z2 = ZebraSpark(spark, p)
+    z2.build(docs.limit(80), shard_size=64, block_size=32,
+             alphabet="ascii")
+    hits = z2.index.eval_tree(
+        ("term", fielded_term("source", "src13"))).count()
+    want = docs.limit(80).where(F.lower("source") == "src13").count()
+    assert hits == want and hits > 0
+
+
+def test_local_fs_path_forms():
+    from idzebra_spark.operators.segment import _local_fs_path
+
+    assert _local_fs_path("/a/b") == "/a/b"
+    assert _local_fs_path("rel/path") == "rel/path"
+    assert _local_fs_path("file:/a/b") == "/a/b"
+    assert _local_fs_path("file:///a/b") == "/a/b"
+    assert _local_fs_path("file://host/a") is None
+    assert _local_fs_path("hdfs:/a") is None
+    assert _local_fs_path("s3a://bucket/a") is None
+
+
 # -------------------------------------------- decode-rate reporting
 
 def test_decode_rate_reports_stub_fraction(spark):
