@@ -1413,6 +1413,34 @@ def _xml_index(spark, sf_dir):
     return _IDX_CACHE[key]
 
 
+def q_incremental_compact_search(spark, sf_dir):
+    """End-to-end incremental lifecycle under the driver's oracle:
+    BUILD on a partial snapshot (docs with id % 3 != 0), UPDATE to
+    the full corpus (the diff inserts the missing third and leaves
+    untouched shards alone — extract.c:896-1100 record resolution as
+    shard copy-on-write), COMPACT the two batches into one
+    (compact.c), then serve BM25 top-k. The oracle is the ordinary
+    whole-corpus BM25 SQL: scores must be IDENTICAL to a fresh build
+    of the final snapshot, proving update+compact converge to the
+    canonical register, not just a working one."""
+    key = sf_dir + "#lifecycle"
+    if key not in _IDX_CACHE:
+        import tempfile
+
+        from idzebra_spark.operators.segment import (
+            build_index, compact_index, update_index)
+        from idzebra_spark.operators.wand import SegmentIndex
+
+        docs = _docs(spark, sf_dir)
+        path = tempfile.mkdtemp(prefix="idzebra_entry_lc_") + "/idx"
+        build_index(spark, docs.where(F.col("doc_id") % 3 != 0), path,
+                    shard_size=512, block_size=128)
+        update_index(spark, docs, path, shard_size=512, block_size=128)
+        compact_index(spark, path)
+        _IDX_CACHE[key] = SegmentIndex(spark, path)
+    return _IDX_CACHE[key].topk(["merge", "sort"], 10, "or")
+
+
 def q_multi_db_search(spark, sf_dir):
     """Multi-DATABASE search (zebra_search_RPN_x database lists,
     zebraapi.c:1079-1112): the corpus is split across TWO separately
@@ -1598,6 +1626,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "xml_mapped_fields": (q_xml_mapped_fields, _XML_MAPPED_SQL),
     "multi_db_search": (q_multi_db_search,
                         oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
+    "incremental_compact_search": (
+        q_incremental_compact_search,
+        oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
     # -- code paths touched in round 4 (q8 index, build_meta fold,
     #    optional validation scan, fetch charmap fix)
     "sim_cosine_q8": (q_sim_cosine_q8, oracle_ml.cosine_topk_q8_sql(0, 10)),
