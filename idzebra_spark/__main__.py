@@ -83,12 +83,13 @@ def main(argv: list[str] | None = None) -> int:
         common(sp, corpus="req")
         sp.add_argument("--fields", default=None,
                         help="w:col1,col2;p:col3 (Zebra index types)")
-        # update defaults come from the index's build_meta — passing
-        # them explicitly overrides (at your own risk for shard size)
-        sp.add_argument("--shard-size", type=int,
-                        default=4096 if verb == "build" else None)
+        # build/update defaults come from the index's build_meta when
+        # it exists (a fresh build uses the engine default); explicit
+        # values that MISMATCH a committed register raise rather than
+        # corrupt (register-config guard in build_index)
+        sp.add_argument("--shard-size", type=int, default=None)
         sp.add_argument("--no-positions", action="store_true",
-                        default=None if verb == "update" else False)
+                        default=None)
 
     sp = sub.add_parser("search")
     common(sp, corpus=True)  # optional: search is index-only
@@ -134,11 +135,15 @@ def main(argv: list[str] | None = None) -> int:
     if getattr(a, "corpus", None):
         corpus = spark.read.parquet(a.corpus)
     # read verbs accept a comma-separated DATABASE LIST (multi-db
-    # search facade, zebraapi.c:1079-1112); write verbs need one path
-    index = (a.index.split(",")
-             if "," in a.index and a.cmd in ("search", "scan", "fetch",
-                                             "info")
-             else a.index)
+    # search facade, zebraapi.c:1079-1112); write verbs reject lists
+    # loudly rather than treating "A,B" as one literal path
+    index: "str | list[str]" = a.index
+    if "," in a.index:
+        if a.cmd not in ("search", "scan", "fetch", "info"):
+            raise SystemExit(
+                f"{a.cmd} takes a single index path — database lists "
+                "are for the read verbs (search/scan/fetch/info)")
+        index = [p for p in a.index.split(",") if p]
     z = ZebraSpark(spark, index, corpus=corpus, alphabet=alphabet)
 
     if a.cmd in ("build", "update"):
@@ -175,11 +180,7 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"removed": len(z.vacuum())}))
     elif a.cmd == "check":
         # zebra_register_check (check_res.c): nonzero exit on any
-        # violated register invariant
-        if "," in a.index:
-            raise SystemExit(
-                "check takes a single index path — run it per member "
-                "(database lists are for the read verbs)")
+        # violated register invariant (list rejection happened above)
         from idzebra_spark.operators.check import check_index
 
         r = check_index(spark, a.index, full=not a.quick)

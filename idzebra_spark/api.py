@@ -109,12 +109,19 @@ class ZebraSpark:
         # Always consult the stored meta: _load_meta only fills in
         # what was NOT explicitly given, so overriding one setting
         # (say, the alphabet) cannot silently discard an unrelated
-        # persisted one (say, the fields map).
+        # persisted one (say, the fields map). A MISMATCHED explicit
+        # override on a committed register raises in build_index (the
+        # register-config guard) — changing config in place has no
+        # safe meaning.
         self._load_meta()
         self._corpus = corpus
         kw.setdefault("alphabet", self._alphabet)
         if self._fields is not None:
             kw.setdefault("fields", self._fields)
+        bm = getattr(self, "_build_meta", None)
+        if bm:  # extend an existing register under its own layout
+            for key in ("shard_size", "block_size", "store_positions"):
+                kw.setdefault(key, bm[key])
         self._fields = kw.get("fields", self._fields)
         self._alphabet = kw["alphabet"]
         self._alphabet_given = True   # this build defines the config
@@ -165,6 +172,15 @@ class ZebraSpark:
         crashed mid-build — invisible to readers either way). Local-FS
         implementation; on object storage this is a lifecycle job."""
         self._require_single_path("vacuum")
+        from idzebra_spark.operators.segment import _local_fs_path
+
+        local = _local_fs_path(self.path)
+        if local is None:
+            raise ValueError(
+                "vacuum sweeps orphan directories driver-side and "
+                "needs a local filesystem index path; on object "
+                "storage run a lifecycle/GC job against the live-"
+                "batch set instead")
         import shutil
 
         lineage = self.spark.read.parquet(f"{self.path}/lineage")
@@ -179,7 +195,7 @@ class ZebraSpark:
         self._idx = None  # cached file listings would point at orphans
         removed = []
         for table in ("blocks", "norms", "doc_meta", "dictionary"):
-            tdir = os.path.join(self.path, table)
+            tdir = os.path.join(local, table)
             if not os.path.isdir(tdir):
                 continue
             for entry in os.listdir(tdir):

@@ -335,6 +335,12 @@ class _BitReader:
             nxt = self.buf[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
+            elif nxt == 0xFF:
+                # legal fill byte before a marker (B.1.1.2): discard
+                # one 0xFF and retry — FF FF 00 is fill + stuffed FF
+                # data, FF FF Dn is fill + restart, per libjpeg
+                self.pos += 1
+                return self._fill()
             elif 0xD0 <= nxt <= 0xD7:  # RST marker: skip, reset below
                 raise _Restart()
             else:

@@ -367,6 +367,10 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
     task holds ~(batch_size × payload) bytes; payloads never hit the
     driver."""
 
+    _img_decoders = {"ppm": decode_ppm, "bmp": decode_bmp,
+                     "png": lambda b: decode_png(b)[:, :, :3],
+                     "jpeg": decode_jpeg}
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, decoded, codecs = [], [], []
@@ -374,36 +378,29 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
                 codec = meta["codec"] if meta is not None else "unknown"
                 codecs.append(codec)
                 b = bytes(payload)
+                # the try covers DECODE only: a corrupt/truncated
+                # payload falls to the stub path, never a task failure
+                # (struct.error is NOT a ValueError; KeyError = a jpeg
+                # referencing an undefined table). Feature extraction
+                # runs OUTSIDE it — a bug there should fail the job,
+                # not masquerade as "payload corrupt".
+                img = audio = None
                 try:
-                    if codec == "ppm":
-                        feats.append(image_features(decode_ppm(b)).tolist())
-                        decoded.append(True)
-                        continue
-                    if codec == "bmp":
-                        feats.append(image_features(decode_bmp(b)).tolist())
-                        decoded.append(True)
-                        continue
-                    if codec == "png":
-                        img = decode_png(b)[:, :, :3]  # drop alpha
-                        feats.append(image_features(img).tolist())
-                        decoded.append(True)
-                        continue
-                    if codec == "jpeg":
-                        feats.append(
-                            image_features(decode_jpeg(b)).tolist())
-                        decoded.append(True)
-                        continue
-                    if codec == "wav":
-                        s, rate = decode_wav(b)
-                        feats.append(audio_features(s, rate).tolist())
-                        decoded.append(True)
-                        continue
+                    if codec in _img_decoders:
+                        img = _img_decoders[codec](b)
+                    elif codec == "wav":
+                        audio = decode_wav(b)
                 except (ValueError, struct.error, IndexError, KeyError,
                         zlib.error):
-                    # corrupt/truncated payload → the stub path, never
-                    # a task failure (struct.error is NOT a ValueError;
-                    # KeyError = a jpeg referencing an undefined table)
                     pass
+                if img is not None:
+                    feats.append(image_features(img).tolist())
+                    decoded.append(True)
+                    continue
+                if audio is not None:
+                    feats.append(audio_features(*audio).tolist())
+                    decoded.append(True)
+                    continue
                 feats.append(_fake_decode(b).tolist())
                 decoded.append(False)
             yield pd.DataFrame({

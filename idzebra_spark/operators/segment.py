@@ -460,6 +460,40 @@ def build_index(
         done_shards = lineage.select("shard").distinct()
     batch = f"b{build_seq:05d}"
 
+    # Register-config guard: a committed index can only be extended
+    # under ITS OWN configuration. A different shard_size changes the
+    # docid→shard mapping, so resume's done-shard diff (and update's
+    # changed-shard diff) would compare ids from different bases —
+    # measured failure mode: new docs land on "already done" shard
+    # ids and are silently dropped. A different charmap/fields map
+    # would tokenize new shards differently from old ones (mixed
+    # registers). Neither has a safe in-place answer — even
+    # resume=False leaves old-basis shards live in lineage — so the
+    # only correct ways to change config are a fresh path or deleting
+    # the index; this error says so instead of corrupting.
+    existing_meta = read_build_meta(spark, path)
+    if existing_meta and lineage is not None:
+        import json as _json
+
+        want = {"shard_size": shard_size, "block_size": block_size,
+                "store_positions": store_positions,
+                "pretokenized": pretokenized, "fields": fields,
+                "alphabet": _alphabet_to_meta(alphabet)}
+        bad_keys = []
+        for key, val in want.items():
+            got = existing_meta.get(key)
+            if _json.dumps(got, sort_keys=True) != _json.dumps(
+                    val, sort_keys=True):
+                bad_keys.append(f"{key}: index={got!r} requested={val!r}")
+        if bad_keys:
+            raise ValueError(
+                "register config mismatch — this index was built with "
+                "a different configuration and cannot be extended "
+                "in-place (" + "; ".join(bad_keys) + "). Build into a "
+                "fresh path (or delete this index) to change the "
+                "register configuration; omit the options to inherit "
+                "the stored ones.")
+
     fcols = _field_cols(fields)
     if pretokenized:
         if fields:
@@ -775,14 +809,21 @@ def update_index(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
-    shard_size: int = DEFAULT_SHARD_SIZE,
-    block_size: int = DEFAULT_BLOCK_SIZE,
-    store_positions: bool = True,
+    shard_size: int | None = None,
+    block_size: int | None = None,
+    store_positions: bool | None = None,
     fields: dict[str, list[str]] | None = None,
-    alphabet: str = "ascii",
+    alphabet=None,
     candidate_shards: DataFrame | None = None,
 ) -> dict:
     """Incrementally sync the index to a new corpus snapshot.
+
+    Layout/charmap parameters default to the index's PERSISTED build
+    config (build_meta) — an update must run under the build's
+    settings or the shard diff compares ids from different bases
+    (register-config guard in build_index enforces this). Explicit
+    values are honored for indexes predating build_meta; fresh paths
+    fall back to the engine defaults.
 
     Zebra resolves updates per record: match → stored delete-keys +
     new insert-keys, netted during merge
@@ -807,6 +848,18 @@ def update_index(
     ``new_corpus`` must contain every live doc of each candidate shard
     (the streaming mirror snapshot restricted by shard does).
     """
+    meta = read_build_meta(spark, path) or {}
+    if shard_size is None:
+        shard_size = meta.get("shard_size", DEFAULT_SHARD_SIZE)
+    if block_size is None:
+        block_size = meta.get("block_size", DEFAULT_BLOCK_SIZE)
+    if store_positions is None:
+        store_positions = meta.get("store_positions", True)
+    if alphabet is None:
+        alphabet = _alphabet_from_meta(meta["alphabet"]) \
+            if "alphabet" in meta else "ascii"
+    if fields is None and meta.get("fields"):
+        fields = meta["fields"]
     fcols = _field_cols(fields)
     src = new_corpus.select(
         F.col(id_col).alias("doc_id"),

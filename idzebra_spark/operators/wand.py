@@ -123,7 +123,6 @@ def _shard_kernel(term_idf, term_order, avgdl, mode, theta, k, k1=K1, b=B,
         min_dl = float(norms["min_dl"].iloc[0])
 
         by_term = {t: g for t, g in blocks.groupby("term", sort=False)}
-        t_idf = term_idf
         present = [t for t in term_order if t in by_term]
         if mode == "and" and len(present) < n_terms:
             return empty
@@ -148,7 +147,7 @@ def _shard_kernel(term_idf, term_order, avgdl, mode, theta, k, k1=K1, b=B,
         # term-level score upper bounds from block-max metadata
         term_ub = {
             t: float(
-                t_idf[t]
+                term_idf[t]
                 * _bm25_tf(by_term[t]["max_tf"].max(), min_dl, avgdl, k1, b)
             )
             for t in present
@@ -164,7 +163,7 @@ def _shard_kernel(term_idf, term_order, avgdl, mode, theta, k, k1=K1, b=B,
         # no extra distributed pass. AND keeps ascending-df order
         # (rsmultiandor.c:26-31 child ordering).
         loop_order = (
-            sorted(present, key=lambda t: (-t_idf[t], t)) if mode == "or"
+            sorted(present, key=lambda t: (-term_idf[t], t)) if mode == "or"
             else present
         )
         theta_local = float(theta)
@@ -183,7 +182,7 @@ def _shard_kernel(term_idf, term_order, avgdl, mode, theta, k, k1=K1, b=B,
                 # block-max WAND: block ub + other terms' max ubs < θ
                 # ⇒ no doc in this block can reach the top-k (lossless,
                 # strict <; ties at θ are kept)
-                blk_ub = t_idf[t] * _bm25_tf(
+                blk_ub = term_idf[t] * _bm25_tf(
                     g["max_tf"].to_numpy(np.int64), min_dl, avgdl, k1, b
                 )
                 keep = (blk_ub + (sum_ub - term_ub[t])) >= theta_local
@@ -218,7 +217,7 @@ def _shard_kernel(term_idf, term_order, avgdl, mode, theta, k, k1=K1, b=B,
                 # just below the kth raw can still round-tie at the
                 # milli level and win on doc_id, so it must survive.
                 dl0 = nd_dls[np.searchsorted(nd_docids, d)]
-                solo = t_idf[t] * _bm25_tf(tfv, dl0, avgdl, k1, b)
+                solo = term_idf[t] * _bm25_tf(tfv, dl0, avgdl, k1, b)
                 kth = float(np.partition(solo, -k)[-k]) - 1e-4
                 theta_local = max(theta_local, kth)
 
@@ -228,7 +227,7 @@ def _shard_kernel(term_idf, term_order, avgdl, mode, theta, k, k1=K1, b=B,
             raw = np.zeros(docs.size, dtype=np.float64)
             for t in present:
                 d, tfv = decoded[t]
-                raw += t_idf[t] * _bm25_tf(
+                raw += term_idf[t] * _bm25_tf(
                     tfv[np.searchsorted(d, docs)], dl, avgdl, k1, b
                 )
             n_matched = np.full(docs.size, n_terms, dtype=np.int32)
@@ -246,7 +245,7 @@ def _shard_kernel(term_idf, term_order, avgdl, mode, theta, k, k1=K1, b=B,
                 if d.size == 0:
                     continue
                 idx = inv[off : off + d.size]
-                raw[idx] += t_idf[t] * _bm25_tf(tfv, dl[idx], avgdl, k1, b)
+                raw[idx] += term_idf[t] * _bm25_tf(tfv, dl[idx], avgdl, k1, b)
                 n_matched[idx] += 1
                 off += d.size
 

@@ -141,3 +141,31 @@ def test_truncated_stream_raises_not_hangs():
     buf = encode_jpeg(_smooth(16, 16))
     with pytest.raises((ValueError, struct.error, IndexError, KeyError)):
         decode_jpeg(buf[: len(buf) // 2])
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        quality=st.integers(1, 100),
+        seed=st.integers(0, 2**31),
+    )
+    def test_roundtrip_property(h, w, quality, seed):
+        """Any image, any quality: encode|decode never crashes, shape
+        is preserved, output is deterministic, and at high quality the
+        error stays quantization-bounded."""
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        buf = encode_jpeg(img, quality=quality)
+        assert buf == encode_jpeg(img, quality=quality)
+        out = decode_jpeg(buf)
+        assert out.shape == img.shape and out.dtype == np.uint8
+        if quality >= 90:
+            err = np.abs(out.astype(int) - img.astype(int)).mean()
+            assert err < 16.0, (h, w, quality, err)
+except ImportError:  # pragma: no cover - hypothesis is baked in here
+    pass

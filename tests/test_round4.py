@@ -223,6 +223,49 @@ def test_build_inherits_persisted_fields_on_rebuild(spark, docs,
     assert hits == want and hits > 0
 
 
+def test_register_config_guard_blocks_mismatched_build(spark, docs,
+                                                       tmp_path):
+    """Extending a committed register under a different shard_size
+    silently DROPPED documents before the guard (new docs mapped to
+    'already done' shard ids and resume skipped them); now it
+    raises with the fresh-path guidance instead."""
+    from idzebra_spark.operators.segment import build_index
+
+    p = str(tmp_path / "idx")
+    build_index(spark, docs.where(F.col("doc_id") < 100), p,
+                shard_size=64, block_size=32)
+    with pytest.raises(ValueError, match="register config mismatch"):
+        build_index(spark,
+                    docs.where((F.col("doc_id") >= 100)
+                               & (F.col("doc_id") < 150)),
+                    p, shard_size=256, block_size=32)
+    with pytest.raises(ValueError, match="register config mismatch"):
+        build_index(spark, docs.limit(50), p, shard_size=64,
+                    block_size=32, alphabet="fold")
+
+
+def test_build_extends_existing_register_with_inherited_layout(
+        spark, docs, tmp_path):
+    from idzebra_spark.api import ZebraSpark
+
+    p = str(tmp_path / "idx")
+    ZebraSpark(spark, p).build(docs.where(F.col("doc_id") < 100),
+                               shard_size=64, block_size=32)
+    # a fresh handle, NO layout options: build() inherits
+    # shard_size=64 from build_meta, so the idempotent re-build
+    # neither trips the config guard (a bare CLI re-run would
+    # otherwise present the engine default 4096) nor rebuilds done
+    # shards; growing the corpus is update()'s job (sha-diff), which
+    # inherits the same stored layout
+    z2 = ZebraSpark(spark, p)
+    z2.build(docs.where(F.col("doc_id") < 100))  # resume no-op
+    assert z2.index.stats()[0] == 100
+    z2.update(docs.where(F.col("doc_id") < 150))
+    n, _ = z2.index.stats()
+    want = docs.where(F.col("doc_id") < 150).count()
+    assert n == want
+
+
 def test_local_fs_path_forms():
     from idzebra_spark.operators.segment import _local_fs_path
 
