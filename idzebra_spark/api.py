@@ -122,11 +122,16 @@ class ZebraSpark:
         if bm:  # extend an existing register under its own layout
             for key in ("shard_size", "block_size", "store_positions"):
                 kw.setdefault(key, bm[key])
+        m = build_index(self.spark, corpus, self.path,
+                        text_col=self.text_col, id_col=self.id_col, **kw)
+        # Commit facade state only AFTER the build succeeded: if the
+        # register-config guard (or anything else) raised, the handle
+        # must keep the intact index's charmap/fields — adopting the
+        # REJECTED config would fold later query terms with the wrong
+        # alphabet and silently return 0 hits.
         self._fields = kw.get("fields", self._fields)
         self._alphabet = kw["alphabet"]
         self._alphabet_given = True   # this build defines the config
-        m = build_index(self.spark, corpus, self.path,
-                        text_col=self.text_col, id_col=self.id_col, **kw)
         # the build just PERSISTED a (possibly new) config — drop the
         # cached pre-build meta so a same-session update() re-reads
         # the fresh build_meta instead of inheriting stale shard

@@ -171,6 +171,18 @@ _WAND_BATCH_SQL = "\nUNION ALL\n".join([
 ]) + "\nUNION ALL\n"  # q_not appended below (needs _WAND_NOT_SQL)
 
 
+# BM25 over the POST-UPDATE corpus: same text modification the
+# match-key entry applies in Spark, as a distinctly-named CTE (DuckDB
+# treats a CTE that names the view it reads as a circular reference)
+# — ids stay the ORIGINAL ones because the match-key update preserves
+# the internal id
+_MATCHKEY_SQL = oracle.bm25_topk_sql(["merge", "sort"], 10, "or").replace(
+    "WITH ",
+    "WITH docs_mod AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 "
+    "THEN text || ' zzupdated' ELSE text END AS text FROM documents), ",
+    1,
+).replace("FROM documents\n", "FROM docs_mod\n")
+
 _WAND_NOT_SQL = oracle.bm25_topk_sql(["merge", "sort"], 10, "or").replace(
     "FROM scored",
     """FROM scored
@@ -1469,6 +1481,73 @@ def q_multi_db_search(spark, sf_dir):
     return _IDX_CACHE[key].topk(["merge", "sort"], 10, "or")
 
 
+def q_update_by_matchkey(spark, sf_dir):
+    """Match-spec record identity (extract.c:405-556
+    get_match_from_spec, matchDict :927-1000): the index is built with
+    ``match_cols=["mkey"]``, then the corpus is RE-KEYED — every doc
+    comes back with a new external doc_id (crawl-style), the same
+    logical key, and modified content for the id%3==0 third.
+    ``update_index`` resolves each record to its existing internal id
+    by match key (the preserved sysno), rebuilds only the shards whose
+    content actually changed, and serving returns the ORIGINAL doc_ids
+    with post-update scores. The oracle is a whole-corpus BM25 over
+    the documents table with the same text modification applied in
+    SQL — score- and id-identical iff identity resolution, the netted
+    delete+insert, and the copy-on-write rebuild all converged to the
+    canonical register."""
+    key = sf_dir + "#matchkey"
+    if key not in _IDX_CACHE:
+        import tempfile
+
+        from idzebra_spark.operators.segment import build_index, update_index
+        from idzebra_spark.operators.wand import SegmentIndex
+
+        docs = _docs(spark, sf_dir).withColumn(
+            "mkey", F.concat(F.lit("k"), F.col("doc_id")))
+        path = tempfile.mkdtemp(prefix="idzebra_entry_mk_") + "/idx"
+        build_index(spark, docs, path, shard_size=512, block_size=128,
+                    match_cols=["mkey"])
+        rekeyed = docs.select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.col("text"), F.lit(" zzupdated")))
+            .otherwise(F.col("text")).alias("text"),
+            "mkey",
+        )
+        update_index(spark, rekeyed, path)
+        _IDX_CACHE[key] = SegmentIndex(spark, path)
+    return _IDX_CACHE[key].topk(["merge", "sort"], 10, "or")
+
+
+def q_streaming_incremental_search(spark, sf_dir):
+    """Structured-Streaming ingest under the driver's oracle: the
+    corpus arrives as three file WAVES in a watched directory; each
+    ``stream_build`` drain (availableNow) mirrors the new files into
+    the doc_store and folds only the touched shards into the register
+    (foreachBatch → update_index, the zebraidx-update daemon loop,
+    SURVEY.md §3.2). The served BM25 top-k must be IDENTICAL to a
+    batch build of the whole corpus — the ordinary whole-corpus
+    oracle, so the micro-batch path is under the same hard signal as
+    the batch lifecycle entry."""
+    key = sf_dir + "#stream"
+    if key not in _IDX_CACHE:
+        import tempfile
+
+        from idzebra_spark.operators.wand import SegmentIndex
+        from idzebra_spark.streaming.ingest import stream_build
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        base = tempfile.mkdtemp(prefix="idzebra_entry_st_")
+        inp, ckpt, path = base + "/in", base + "/ck", base + "/idx"
+        for wave in range(3):
+            docs.where(F.col("doc_id") % 3 == wave).coalesce(4) \
+                .write.mode("append").parquet(inp)
+            stream_build(spark, inp, path, ckpt,
+                         shard_size=512, block_size=128)
+        _IDX_CACHE[key] = SegmentIndex(spark, path)
+    return _IDX_CACHE[key].topk(["merge", "sort"], 10, "or")
+
+
 def q_xml_mapped_fields(spark, sf_dir):
     """Config-DRIVEN XML indexing (the mod_dom gap): a user-supplied
     ``{index_type: {field: xpath}}`` mapping — not code — declares
@@ -1590,66 +1669,16 @@ from idzebra_spark import oracle_ml  # noqa: E402
 # new in round 4 and entries whose shared code paths changed this
 # round.  The tail is entries with a fresh green row in r03.
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    # -- last driver-checked in round 2 (rotate for fresh r4 rows)
-    "text_token_stats": (q_text_token_stats, oracle_ml.token_stats_sql(200)),
-    "text_quality": (q_text_quality, oracle_ml.quality_sql(200)),
-    "text_langid": (q_text_langid, oracle_ml.lang_id_sql(200)),
-    "text_fingerprint": (q_text_fingerprint, oracle_ml.fingerprint_sql(200)),
-    "dedup_exact": (q_dedup_exact, oracle_ml.dedup_exact_sql()),
-    "dedup_jaccard": (q_dedup_jaccard, oracle_ml.jaccard_pairs_sql(0.5, 500)),
-    "dedup_minhash_lsh": (q_dedup_minhash_lsh, oracle_ml.minhash_lsh_pairs_sql(0.5, 16, 4, 500)),
-    "sim_cosine_topk": (q_sim_cosine_topk, oracle_ml.cosine_topk_sql(0, 10)),
-    "sim_ivf_topk": (q_sim_ivf_topk, oracle_ml.ivf_topk_sql(0, 10, 2)),
-    "seg_prox_ordered": (q_seg_prox_ordered, _SEG_PROX_ORDERED_SQL),
-    "seg_facets": (q_seg_facets, oracle.facet_sql(["merge", "sort"], "source", 10)),
-    "seg_snippets": (q_seg_snippets, oracle.snippet_sql("merge", 2, 10)),
-    "rank1": (q_rank1, oracle.rank1_sql(["merge", "sort"], 10)),
-    "rank2": (q_rank2, _RANK2_SQL),
-    "record_fetch": (q_record_fetch, _RECORD_FETCH_SQL),
-    "index_stats": (q_index_stats, _INDEX_STATS_SQL),
-    "between_scope": (q_between_scope, _BETWEEN_SQL),
-    "within_unit": (q_within_unit, _WITHIN_UNIT_SQL),
-    "seg_between": (q_seg_between, _BETWEEN_SQL),
-    "seg_within_unit": (q_seg_within_unit, _WITHIN_UNIT_SQL),
-    "bool_not": (q_bool_not, oracle.bool_not_sql("merge", "sort", 100)),
-    "prox_unordered": (q_prox, oracle.prox_sql("merge", "sort", 3, 100)),
-    "trunc_prefix": (q_trunc_prefix, oracle.trunc_prefix_sql("sc", 100)),
-    "regex_terms": (q_regex_terms, oracle.regex_terms_sql("^s[a-z]*t$", 100)),
-    "facets": (q_facets, oracle.facet_sql(["merge", "sort"], "source", 10)),
-    "snippets": (q_snippets, oracle.snippet_sql("merge", 2, 10)),
-    "sort_by_field": (q_sort_by_field, oracle.sort_by_field_sql("merge", "n_chars", 10)),
-    "parsed_bool": (q_parsed_bool, _PARSED_BOOL_SQL),
-    "scan_around": (q_scan_around, _SCAN_AROUND_SQL),
-    "edit_distance": (q_edit_distance, _EDIT_DIST_SQL),
-    # -- new in round 4
-    "sim_q8_indexed": (q_sim_q8_indexed, oracle_ml.cosine_topk_q8_sql(0, 10)),
-    "xml_mapped_fields": (q_xml_mapped_fields, _XML_MAPPED_SQL),
-    "multi_db_search": (q_multi_db_search,
-                        oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
-    "incremental_compact_search": (
-        q_incremental_compact_search,
-        oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
-    # -- code paths touched in round 4 (q8 index, build_meta fold,
-    #    optional validation scan, fetch charmap fix)
-    "sim_cosine_q8": (q_sim_cosine_q8, oracle_ml.cosine_topk_q8_sql(0, 10)),
-    "record_fetch_index": (q_record_fetch_index, _FETCH_INDEX_SQL),
-    "wand_bm25_or": (q_wand_bm25_or, oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
-    "wand_bm25_and": (q_wand_bm25_and, oracle.bm25_topk_sql(["spark", "query"], 10, "and")),
-    "wand_bm25_highdf": (q_wand_bm25_highdf, oracle.bm25_topk_sql(["the", "data", "key"], 10, "or")),
-    "wand_bm25_not": (q_wand_bm25_not, _WAND_NOT_SQL),
-    "wand_phrase": (q_wand_phrase, oracle.phrase_sql(["batch", "batch"], 10)),
-    "wand_parsed_bool": (q_wand_parsed_bool, _WAND_PARSED_SQL),
-    "wand_bm25_batch": (q_wand_bm25_batch, _WAND_BATCH_SQL),
-    "wand_tree_batch": (q_wand_tree_batch, _TREE_BATCH_SQL),
-    "seg_scan_limited": (q_seg_scan_limited, _SCAN_LIMITED_SQL),
-    "charmap_fold": (q_charmap_fold, oracle.charmap_fold_sql()),
-    "charmap_chr": (q_charmap_chr, oracle.charmap_chr_sql()),
-    "xml_record_filter": (q_xml_record_filter, _XML_FILTER_SQL),
-    "xml_fielded_search": (q_xml_fielded_search, _XML_FIELDED_SQL),
-    "marc_record_filter": (q_marc_record_filter, _MARC_FILTER_SQL),
+    # Ordering contract: the driver samples the FIRST 50 entries each
+    # round, so the head rotates to whatever most needs a fresh
+    # CORRECTNESS row. Round 5: (a) the 34 entries whose last driver
+    # row is round 3 (they share kernel code touched since — _pin,
+    # _norms_side), (b) the two NEW round-5 entries, (c) the 14
+    # entries over code paths modified this round (norms pinning,
+    # q8 memo, segment match_cols / build_meta swap).
+    # -- (a) last driver-checked in round 3
     "safari_search": (q_safari_search,
                       oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
-    # -- fresh green row in CORRECTNESS_r03; unchanged this round
     "safari_record_filter": (q_safari_record_filter, _SAFARI_FILTER_SQL),
     "dedup_simhash_hamming": (
         q_dedup_simhash_hamming, oracle_ml.simhash_near_pairs_sql(32, 4, 3, 500)),
@@ -1687,4 +1716,64 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "seg_scan_around": (q_seg_scan_around, _SCAN_AROUND_SQL),
     "seg_first_in_field": (q_seg_first_in_field, _FIRST_IN_FIELD_SQL),
     "seg_prox_unordered": (q_seg_prox, oracle.prox_sql("merge", "sort", 3, 100)),
+    # -- (b) new in round 5
+    "update_by_matchkey": (q_update_by_matchkey, _MATCHKEY_SQL),
+    "streaming_incremental_search": (q_streaming_incremental_search,
+     oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
+    # -- (c) code paths touched in round 5
+    "wand_bm25_or": (q_wand_bm25_or, oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
+    "wand_bm25_and": (q_wand_bm25_and, oracle.bm25_topk_sql(["spark", "query"], 10, "and")),
+    "wand_bm25_highdf": (q_wand_bm25_highdf, oracle.bm25_topk_sql(["the", "data", "key"], 10, "or")),
+    "wand_bm25_not": (q_wand_bm25_not, _WAND_NOT_SQL),
+    "wand_phrase": (q_wand_phrase, oracle.phrase_sql(["batch", "batch"], 10)),
+    "wand_parsed_bool": (q_wand_parsed_bool, _WAND_PARSED_SQL),
+    "wand_bm25_batch": (q_wand_bm25_batch, _WAND_BATCH_SQL),
+    "wand_tree_batch": (q_wand_tree_batch, _TREE_BATCH_SQL),
+    "sim_cosine_q8": (q_sim_cosine_q8, oracle_ml.cosine_topk_q8_sql(0, 10)),
+    "sim_q8_indexed": (q_sim_q8_indexed, oracle_ml.cosine_topk_q8_sql(0, 10)),
+    "seg_scan_limited": (q_seg_scan_limited, _SCAN_LIMITED_SQL),
+    "incremental_compact_search": (
+        q_incremental_compact_search,
+        oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
+    "scan_around": (q_scan_around, _SCAN_AROUND_SQL),
+    "multi_db_search": (q_multi_db_search,
+                        oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
+    # -- fresh green row in CORRECTNESS_r04; unchanged this round
+    "text_token_stats": (q_text_token_stats, oracle_ml.token_stats_sql(200)),
+    "text_quality": (q_text_quality, oracle_ml.quality_sql(200)),
+    "text_langid": (q_text_langid, oracle_ml.lang_id_sql(200)),
+    "text_fingerprint": (q_text_fingerprint, oracle_ml.fingerprint_sql(200)),
+    "dedup_exact": (q_dedup_exact, oracle_ml.dedup_exact_sql()),
+    "dedup_jaccard": (q_dedup_jaccard, oracle_ml.jaccard_pairs_sql(0.5, 500)),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, oracle_ml.minhash_lsh_pairs_sql(0.5, 16, 4, 500)),
+    "sim_cosine_topk": (q_sim_cosine_topk, oracle_ml.cosine_topk_sql(0, 10)),
+    "sim_ivf_topk": (q_sim_ivf_topk, oracle_ml.ivf_topk_sql(0, 10, 2)),
+    "seg_prox_ordered": (q_seg_prox_ordered, _SEG_PROX_ORDERED_SQL),
+    "seg_facets": (q_seg_facets, oracle.facet_sql(["merge", "sort"], "source", 10)),
+    "seg_snippets": (q_seg_snippets, oracle.snippet_sql("merge", 2, 10)),
+    "rank1": (q_rank1, oracle.rank1_sql(["merge", "sort"], 10)),
+    "rank2": (q_rank2, _RANK2_SQL),
+    "record_fetch": (q_record_fetch, _RECORD_FETCH_SQL),
+    "index_stats": (q_index_stats, _INDEX_STATS_SQL),
+    "between_scope": (q_between_scope, _BETWEEN_SQL),
+    "within_unit": (q_within_unit, _WITHIN_UNIT_SQL),
+    "seg_between": (q_seg_between, _BETWEEN_SQL),
+    "seg_within_unit": (q_seg_within_unit, _WITHIN_UNIT_SQL),
+    "bool_not": (q_bool_not, oracle.bool_not_sql("merge", "sort", 100)),
+    "prox_unordered": (q_prox, oracle.prox_sql("merge", "sort", 3, 100)),
+    "trunc_prefix": (q_trunc_prefix, oracle.trunc_prefix_sql("sc", 100)),
+    "regex_terms": (q_regex_terms, oracle.regex_terms_sql("^s[a-z]*t$", 100)),
+    "facets": (q_facets, oracle.facet_sql(["merge", "sort"], "source", 10)),
+    "snippets": (q_snippets, oracle.snippet_sql("merge", 2, 10)),
+    "sort_by_field": (q_sort_by_field, oracle.sort_by_field_sql("merge", "n_chars", 10)),
+    "parsed_bool": (q_parsed_bool, _PARSED_BOOL_SQL),
+    "edit_distance": (q_edit_distance, _EDIT_DIST_SQL),
+    "xml_mapped_fields": (q_xml_mapped_fields, _XML_MAPPED_SQL),
+    "record_fetch_index": (q_record_fetch_index, _FETCH_INDEX_SQL),
+    "charmap_fold": (q_charmap_fold, oracle.charmap_fold_sql()),
+    "charmap_chr": (q_charmap_chr, oracle.charmap_chr_sql()),
+    "xml_record_filter": (q_xml_record_filter, _XML_FILTER_SQL),
+    "xml_fielded_search": (q_xml_fielded_search, _XML_FIELDED_SQL),
+    "marc_record_filter": (q_marc_record_filter, _MARC_FILTER_SQL),
 }
+

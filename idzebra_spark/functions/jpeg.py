@@ -522,11 +522,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             mcu += 1
             if restart_interval and mcu % restart_interval == 0 \
                     and mcu < mcux * mcuy:
-                # byte-align and consume the RST marker
+                # byte-align and consume the RST marker; optional FF
+                # fill bytes may pad before it (B.1.1.2). A missing
+                # RSTn here means the entropy stream desynced — raise
+                # like the other malformed-input paths instead of
+                # decoding garbage coefficients.
                 br.nbits = 0
-                while payload[br.pos] == 0xFF and 0xD0 <= payload[br.pos + 1] <= 0xD7:
-                    br.pos += 2
-                    break
+                while (payload[br.pos] == 0xFF
+                       and payload[br.pos + 1] == 0xFF):
+                    br.pos += 1
+                if not (payload[br.pos] == 0xFF
+                        and 0xD0 <= payload[br.pos + 1] <= 0xD7):
+                    raise ValueError("missing restart marker")
+                br.pos += 2
                 pred = [0, 0, 0]
         except _Restart:
             br.nbits = 0

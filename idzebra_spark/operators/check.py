@@ -140,6 +140,46 @@ def _check_open(spark: SparkSession, idx: SegmentIndex, path: str,
         .count()
     )
 
+    # 2b. After a reindex, idx.dictionary() is itself derived from
+    # blocks, making check 2 blocks-vs-blocks (vacuously true). The
+    # persisted dictionary PARTIALS are still exact for every
+    # fully-live batch (no shard superseded), so validate those
+    # per-batch against that batch's own block metadata — coverage
+    # does not silently vanish in exactly the post-update state.
+    if idx._has_reindex:
+        lineage = spark.read.parquet(f"{path}/lineage")
+        per_total = lineage.groupBy("batch").agg(F.count("*").alias("t"))
+        per_live = idx.shard_batch.groupBy("batch").agg(
+            F.count("*").alias("l"))
+        full_live = per_live.join(per_total, "batch") \
+            .where(F.col("t") == F.col("l")).select("batch")
+        dict_part = (
+            spark.read.parquet(f"{path}/dictionary")
+            .join(F.broadcast(full_live), "batch", "semi")
+            .groupBy("batch", "term")
+            .agg(F.sum("df").alias("d_df"), F.sum("cf").alias("d_cf"),
+                 F.max("max_tf").alias("d_max"))
+        )
+        blk_part = (
+            spark.read.parquet(f"{path}/blocks")
+            .join(F.broadcast(full_live), "batch", "semi")
+            .groupBy("batch", "term")
+            .agg(F.sum("n_docs").alias("b_df"), F.sum("sum_tf").alias("b_cf"),
+                 F.max("max_tf").alias("b_max"))
+        )
+        violations["dictionary_partials_vs_blocks"] = (
+            dict_part.join(blk_part, ["batch", "term"], "full")
+            .where(
+                (F.coalesce("d_df", F.lit(-1))
+                 != F.coalesce("b_df", F.lit(-1)))
+                | (F.coalesce("d_cf", F.lit(-1))
+                   != F.coalesce("b_cf", F.lit(-1)))
+                | (F.coalesce("d_max", F.lit(-1))
+                   != F.coalesce("b_max", F.lit(-1)))
+            )
+            .count()
+        )
+
     # 3. full payload decode
     if full:
         kernel = _block_check_kernel(meta.get("shard_size"))

@@ -79,6 +79,8 @@ class MultiSegmentIndex(SegmentIndex):
             self.blocks = self.blocks.cache()
             self.norms = self.norms.cache()
         self._has_reindex = any(s._has_reindex for s in self.subs)
+        self._cache_hot = cache_hot
+        self._pnorms = None
         self._stats = None
         self._dict = None
         self._term_memo: dict[str, dict | None] = {}

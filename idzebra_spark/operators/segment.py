@@ -233,6 +233,24 @@ def content_sha(text_col: str, field_cols: list[str]) -> F.Column:
     )
 
 
+def match_key_expr(match_cols: list[str]) -> F.Column:
+    """User-defined record identity — Zebra's match spec
+    (/root/reference/index/extract.c:405-556 get_match_from_spec:
+    record keys assembled from chosen (set,use) fields / $filename /
+    literals, resolved through the matchDict at :927-1000). The Spark
+    shape is a sha256 over the chosen columns: two corpus rows with
+    equal match-column values are the SAME logical record, whatever
+    their doc_id or content hash."""
+    return F.sha2(
+        F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit(""))
+              for c in match_cols],
+        ),
+        256,
+    )
+
+
 def fielded_postings(src: DataFrame,
                      fields: dict[str, list[str]],
                      alphabet: str = "ascii",
@@ -345,9 +363,13 @@ def write_build_meta(spark: SparkSession, path: str, **params) -> None:
     was a measurable slice of small builds); the Spark text writer
     remains the fallback so remote filesystems (hdfs/s3) still work.
     The on-disk layout (a build_meta/ dir of text lines) is identical
-    either way. Not atomic across the rmtree+rename — but the meta is
-    written BEFORE the lineage commit, so a crash in the window leaves
-    an uncommitted batch, never a committed index without its meta."""
+    either way. The local swap is crash-safe for REBUILDS too: the
+    old meta is renamed to ``build_meta._old`` (not rmtree'd) before
+    the new one lands, and :func:`read_build_meta` falls back to
+    ``._old`` — so a crash mid-swap can never leave a COMMITTED index
+    (prior lineage intact) with no readable meta, which would make a
+    later update silently fall back to engine defaults and bypass the
+    register-config guard."""
     import json
 
     local = _local_fs_path(path)
@@ -357,12 +379,16 @@ def write_build_meta(spark: SparkSession, path: str, **params) -> None:
 
         d = os.path.join(local, "build_meta")
         tmp = d + "._tmp"
+        old = d + "._old"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
         with open(os.path.join(tmp, "part-00000"), "w") as fh:
             fh.write(json.dumps(params) + "\n")
-        shutil.rmtree(d, ignore_errors=True)
-        os.rename(tmp, d)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(d):
+            os.rename(d, old)          # keep the prior meta readable
+        os.rename(tmp, d)              # atomic publish of the new one
+        shutil.rmtree(old, ignore_errors=True)
         return
     spark.createDataFrame([(json.dumps(params),)], "meta string") \
         .coalesce(1).write.mode("overwrite").text(f"{path}/build_meta")
@@ -375,14 +401,17 @@ def read_build_meta(spark: SparkSession, path: str) -> dict | None:
     if local is not None:
         import os
 
-        d = os.path.join(local, "build_meta")
-        try:
-            for name in sorted(os.listdir(d)):
-                if name.startswith("part-"):
-                    with open(os.path.join(d, name)) as fh:
-                        return json.loads(fh.readline())
-        except OSError:
-            return None
+        # build_meta._old is the crash-window fallback: a rebuild
+        # renames the prior meta aside before publishing the new one.
+        for d in (os.path.join(local, "build_meta"),
+                  os.path.join(local, "build_meta._old")):
+            try:
+                for name in sorted(os.listdir(d)):
+                    if name.startswith("part-"):
+                        with open(os.path.join(d, name)) as fh:
+                            return json.loads(fh.readline())
+            except OSError:
+                continue
         return None
     try:
         rows = spark.read.text(f"{path}/build_meta").collect()
@@ -408,8 +437,17 @@ def build_index(
     alphabet: str = "ascii",
     pretokenized: bool = False,
     cache_source: bool = True,
+    match_cols: list[str] | None = None,
 ) -> dict:
     """Build (or resume) the segment index at ``path``.
+
+    ``match_cols``: optional user-defined record-identity columns
+    (Zebra's match spec, extract.c:405-556) — their sha256 is stored
+    per doc in doc_meta as ``match_key`` and persisted in build_meta,
+    so ``update_index`` can resolve incoming records to existing
+    internal doc_ids by logical key instead of by doc_id (the sysno
+    is preserved across re-keyed crawls). Not supported with
+    ``pretokenized`` streams.
 
     ``cache_source``: the projected corpus is consumed twice (doc
     metadata scan + tokenize scan); caching it saves the second read
@@ -478,7 +516,8 @@ def build_index(
         want = {"shard_size": shard_size, "block_size": block_size,
                 "store_positions": store_positions,
                 "pretokenized": pretokenized, "fields": fields,
-                "alphabet": _alphabet_to_meta(alphabet)}
+                "alphabet": _alphabet_to_meta(alphabet),
+                "match_cols": match_cols}
         bad_keys = []
         for key, val in want.items():
             got = existing_meta.get(key)
@@ -498,6 +537,11 @@ def build_index(
     if pretokenized:
         if fields:
             raise ValueError("pretokenized and fields= are exclusive")
+        if match_cols:
+            raise ValueError(
+                "match_cols is not supported for pretokenized streams "
+                "(the safari producer supplies stable record ids "
+                "itself, mod_safari.c:118-190)")
         # corpus is the posting stream (mod_safari contract): one row
         # per occurrence; optional `field` column names the index
         src = corpus.select(
@@ -511,10 +555,12 @@ def build_index(
         # null text → '' here, once: downstream doclen would otherwise
         # be size(NULL) = -1 (poisoned BM25 norms) and sha2(NULL) =
         # NULL (update_index would rebuild the shard on every sync)
+        mcols = [c for c in (match_cols or []) if c not in fcols]
         src = corpus.select(
             F.col(id_col).alias("doc_id"),
             F.coalesce(F.col(text_col), F.lit("")).alias("text"),
             *[F.col(c) for c in fcols],
+            *[F.col(c) for c in mcols],
         ).withColumn("shard", shard_expr(shard_size))
 
     reindex_df: DataFrame | None = None
@@ -576,11 +622,13 @@ def build_index(
             ).alias("sha256"),
         )
     else:
-        meta = src.select(
-            "shard", "doc_id",
+        meta_cols = [
             F.size(tokenize_array(F.col("text"), alphabet)).alias("doclen"),
             content_sha("text", fcols).alias("sha256"),
-        )
+        ]
+        if match_cols:
+            meta_cols.append(match_key_expr(match_cols).alias("match_key"))
+        meta = src.select("shard", "doc_id", *meta_cols)
 
     # norms per shard (derived from the same single-scan projection)
     norms = (
@@ -729,7 +777,7 @@ def build_index(
                      block_size=block_size,
                      store_positions=store_positions, fields=fields,
                      alphabet=_alphabet_to_meta(alphabet),
-                     pretokenized=pretokenized)
+                     pretokenized=pretokenized, match_cols=match_cols)
     lineage_rows.write.mode("append").parquet(_lineage_path(path))
     tick("lineage")
     lineage_rows.unpersist()
@@ -802,6 +850,147 @@ def compact_index(spark: SparkSession, path: str) -> dict:
     return {"batch": batch, "shards": n}
 
 
+def _update_by_match_key(
+    spark: SparkSession,
+    new_corpus: DataFrame,
+    path: str,
+    *,
+    text_col: str,
+    id_col: str,
+    shard_size: int,
+    block_size: int,
+    store_positions: bool,
+    fields: dict[str, list[str]] | None,
+    alphabet,
+    match_cols: list[str],
+) -> dict:
+    """Match-spec update: resolve record identity by user key.
+
+    Zebra resolves an incoming record to an existing sysno through the
+    matchDict (/root/reference/index/extract.c:405-556 builds the key
+    from the match spec, :927-1000 looks it up and REUSES the stored
+    sysno), so a record whose content — or whose external id — changes
+    under the same logical key stays the same internal record. The
+    Spark shape:
+
+    - the new snapshot is deduped per match key (highest ``id_col``
+      wins, deterministically — Zebra's "last record wins" without
+      depending on input order);
+    - incoming keys join the indexed doc_meta on ``match_key``; an
+      existing key keeps its OLD internal doc_id (the sysno), a new
+      key enters under its own id, an absent key is a delete;
+    - duplicate old docs sharing one key (possible if the initial
+      build had key collisions) net out: the highest internal id is
+      canonical, the rest are force-deleted — after any update each
+      live key has exactly one live doc;
+    - every shard holding an added/changed/deleted EFFECTIVE doc is
+      rebuilt copy-on-write from the remapped snapshot, exactly like
+      the doc_id diff path.
+
+    All joins are match_key/doc_id equality joins — index-sized, never
+    collected; the remap is a projection + one key join, so the 100 TB
+    shape is unchanged from the sha-diff path.
+    """
+    from pyspark.sql.window import Window
+
+    meta = read_build_meta(spark, path) or {}
+    lineage = read_lineage(spark, path)
+    if lineage is None:
+        m = build_index(
+            spark, new_corpus, path, text_col=text_col, id_col=id_col,
+            shard_size=shard_size, block_size=block_size,
+            store_positions=store_positions, fields=fields,
+            alphabet=alphabet, match_cols=match_cols,
+        )
+        m["changed_shards"] = m["shards"]
+        return m
+    if meta.get("match_cols") != match_cols:
+        raise ValueError(
+            "match_cols update on an index built without them (or with "
+            f"different ones: index={meta.get('match_cols')!r} "
+            f"requested={match_cols!r}) — doc_meta carries no "
+            "match_key for the stored docs. Rebuild with "
+            "build_index(match_cols=...) first.")
+
+    fcols = _field_cols(fields)
+    # 1. dedupe the incoming snapshot per match key (highest id wins)
+    win = Window.partitionBy("_mk").orderBy(F.col("_nid").desc())
+    newc = (
+        new_corpus
+        .withColumn("_mk", match_key_expr(match_cols))
+        .withColumn("_nid", F.col(id_col).cast("long"))
+        .withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    nsrc = newc.select(
+        F.col("_mk").alias("match_key"),
+        F.col("_nid").alias("new_id"),
+        content_sha(text_col, fcols).alias("sha256"),
+    )
+
+    # 2. indexed side: latest-batch doc_meta with canonical-per-key
+    w_latest = lineage.groupBy("shard").agg(
+        F.max("build_seq").alias("build_seq"))
+    latest = lineage.join(w_latest, ["shard", "build_seq"]) \
+        .select("shard", "batch")
+    old = (
+        spark.read.parquet(f"{path}/doc_meta")
+        .join(latest, ["shard", "batch"], "semi")
+        .select("doc_id", "match_key",
+                F.col("sha256").alias("old_sha"),
+                F.col("shard").alias("old_shard"))
+    )
+    cwin = Window.partitionBy("match_key").orderBy(F.col("doc_id").desc())
+    old = old.withColumn("_crn", F.row_number().over(cwin))
+    dupes = old.where(F.col("_crn") > 1)      # force-deleted collisions
+    old_canon = old.where(F.col("_crn") == 1).drop("_crn")
+
+    # 3. resolve identity + diff
+    j = nsrc.join(old_canon, "match_key", "full_outer")
+    eff = F.coalesce(F.col("doc_id"), F.col("new_id"))
+    changed = (
+        j.where(
+            F.col("old_sha").isNull()                  # new key
+            | F.col("sha256").isNull()                 # key disappeared
+            | (F.col("sha256") != F.col("old_sha"))    # content changed
+        )
+        .select(F.coalesce(
+            F.col("old_shard"),
+            F.expr(f"(new_id - pmod(new_id, {int(shard_size)})) "
+                   f"div {int(shard_size)}")).alias("shard"))
+        .union(dupes.select(F.col("old_shard").alias("shard")))
+        .distinct()
+    )
+    changed = changed.persist()
+    n_changed = changed.count()
+    if n_changed == 0:
+        changed.unpersist()
+        return {"batch": None, "shards": 0, "docs": 0, "changed_shards": 0}
+
+    # 4. remap the snapshot to effective ids and rebuild changed shards
+    mapping = j.where(F.col("new_id").isNotNull()).select(
+        "match_key", eff.alias("_eff_id"))
+    remapped = (
+        newc.join(mapping, newc["_mk"] == mapping["match_key"])
+        .select(
+            F.col("_eff_id").alias(id_col),
+            F.col(text_col),
+            *[F.col(c) for c in
+              dict.fromkeys([*fcols, *match_cols])],
+        )
+    )
+    m = build_index(
+        spark, remapped, path, text_col=text_col, id_col=id_col,
+        shard_size=shard_size, block_size=block_size,
+        store_positions=store_positions, reindex_shards=changed,
+        fields=fields, alphabet=alphabet, match_cols=match_cols,
+    )
+    changed.unpersist()
+    m["changed_shards"] = n_changed
+    return m
+
+
 def update_index(
     spark: SparkSession,
     new_corpus: DataFrame,
@@ -815,6 +1004,7 @@ def update_index(
     fields: dict[str, list[str]] | None = None,
     alphabet=None,
     candidate_shards: DataFrame | None = None,
+    match_cols: list[str] | None = None,
 ) -> dict:
     """Incrementally sync the index to a new corpus snapshot.
 
@@ -860,7 +1050,21 @@ def update_index(
             if "alphabet" in meta else "ascii"
     if fields is None and meta.get("fields"):
         fields = meta["fields"]
+    if match_cols is None and meta.get("match_cols"):
+        match_cols = meta["match_cols"]
     fcols = _field_cols(fields)
+    if match_cols:
+        if candidate_shards is not None:
+            raise ValueError(
+                "candidate_shards cannot bound a match_cols update: "
+                "the effective doc_id (and so the touched shard) of an "
+                "incoming record is resolved by match key, not by its "
+                "own doc_id")
+        return _update_by_match_key(
+            spark, new_corpus, path, text_col=text_col, id_col=id_col,
+            shard_size=shard_size, block_size=block_size,
+            store_positions=store_positions, fields=fields,
+            alphabet=alphabet, match_cols=match_cols)
     src = new_corpus.select(
         F.col(id_col).alias("doc_id"),
         content_sha(text_col, fcols).alias("sha256"),
