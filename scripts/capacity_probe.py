@@ -6,7 +6,10 @@ measurement (this VM's memory bandwidth caps multi-core throughput;
 see BENCH/BASELINE.md) — it answers "does the engine still behave at
 20x the bench corpus, including worst-case ubiquitous-term serving".
 
-Usage: python scripts/capacity_probe.py [--docs 500000]
+Usage: python scripts/capacity_probe.py [--docs 500000] [--no-cache-source]
+``--no-cache-source`` exercises the documented 100 TB build path
+(build_index(cache_source=False): re-read the column-pruned scan
+instead of pinning the corpus in storage memory).
 Prints one JSON line; paste into BENCH/capacity.md.
 """
 
@@ -27,6 +30,7 @@ def main() -> None:
     docs_n = 500_000
     if "--docs" in sys.argv:
         docs_n = int(sys.argv[sys.argv.index("--docs") + 1])
+    cache_source = "--no-cache-source" not in sys.argv
 
     from idzebra_spark.operators.segment import build_index
     from idzebra_spark.operators.wand import SegmentIndex
@@ -36,15 +40,20 @@ def main() -> None:
     spark = get_spark("capacity-probe")
     spark.sparkContext.setLogLevel("ERROR")
     corpus = synth_source_files(spark, docs_n).select("doc_id", "content")
-    corpus = corpus.cache()
-    corpus.count()
+    if cache_source:
+        corpus = corpus.cache()
+        corpus.count()
+    # (with --no-cache-source the synthetic generator runs inside the
+    # build's two scans, like re-reading a pruned parquet scan would)
 
     path = tempfile.mkdtemp(prefix="capacity_") + "/idx"
     t0 = time.perf_counter()
     m = build_index(spark, corpus, path, text_col="content",
-                    shard_size=2048, block_size=128)
+                    shard_size=2048, block_size=128,
+                    cache_source=cache_source)
     build_sec = time.perf_counter() - t0
-    corpus.unpersist()
+    if cache_source:
+        corpus.unpersist()
 
     idx = SegmentIndex(spark, path, cache_hot=True)
     idx.stats()
@@ -52,6 +61,7 @@ def main() -> None:
 
     out = {
         "docs": docs_n,
+        "cache_source": cache_source,
         "build_sec": round(build_sec, 1),
         "docs_per_sec": round(docs_n / build_sec, 1),
         "postings": int(m["postings"]),

@@ -65,7 +65,10 @@ def worker(cores: int, n_docs: int) -> None:
         build_secs.append(time.perf_counter() - t0)
     build_sec = min(build_secs)
 
-    idx = SegmentIndex(spark, path)
+    # serving mode: cache_hot pins blocks+norms AND persists the
+    # shard-pinned norms frame once (_norms_side) — the steady-state
+    # shape every query reuses; identical at both parallelism levels
+    idx = SegmentIndex(spark, path, cache_hot=True)
     idx.stats()
     # warm-up: spawn python workers / JIT once, outside the timed
     # window — steady-state serving latency is what scales
@@ -90,7 +93,7 @@ def worker(cores: int, n_docs: int) -> None:
 
     batch = QUERIES * 4
     tput = []
-    for _ in range(2):
+    for _ in range(3):   # same-run triple: best-of filters neighbor noise
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=4) as ex:
             list(ex.map(one, batch))
@@ -147,6 +150,7 @@ def worker(cores: int, n_docs: int) -> None:
         "query_sec_total": round(query_sec, 3),
         "queries_per_sec": round(len(QUERIES) / query_sec, 3),
         "concurrent_qps": round(concurrent_qps, 3),
+        "concurrent_qps_all": [round(x, 3) for x in tput],
         "batch64_qps": round(batch_qps, 3),
         "batch_sweep_qps": batch_sweep,
     }))
