@@ -101,6 +101,21 @@ def main() -> None:
         explain_str(bq),
     ))
 
+    hot = SegmentIndex(spark, path, cache_hot=True)
+    hot.topk(["merge"], 10).collect()   # populate the pinned norms
+    hp = hot.topk(["merge", "sort"], 10)
+    sections.append((
+        "Serving-mode pinned norms (cache_hot)",
+        "With cache_hot the shard-pinned norms frame is persisted "
+        "once (_norms_side): every subsequent query's plan reads the "
+        "norms side from InMemoryTableScan with NO per-query "
+        "semi-join subtree and NO norms shuffle — the persisted "
+        "hashpartitioning(shard, p) already satisfies the cogroup's "
+        "required distribution, so only the (query-specific) block "
+        "side exchanges.",
+        explain_str(hp),
+    ))
+
     from idzebra_spark.operators.similarity import (
         build_lsh_index, lsh_topk_indexed)
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
