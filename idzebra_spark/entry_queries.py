@@ -351,6 +351,27 @@ def q_sim_cosine_q8(spark, sf_dir):
     return cosine_topk_q8(emb, qv, k=10, exclude_id=0)
 
 
+def q_icu_chain(spark, sf_dir):
+    """ICU-chain tokenization (zebra.cfg `icuchain words-icu.xml`,
+    util/zebramap.c:232-266/:665-716): the chain XML — control
+    removal, break-iterator tokenize, punctuation Remove (word-
+    internal joiners delete, boundaries split), Latin-ASCII fold,
+    casemap — COMPILES to a Charmap (functions/icu.py), so the whole
+    pipeline stays pure-JVM expressions, and the oracle SQL is
+    generated from the same compiled object. Demo rows exercise every
+    compiled element ("Don't"→dont, "l'été"→lete, ÆØÅ→aeoa,
+    control-join, em-dash boundary)."""
+    from idzebra_spark.functions.icu import icu_chain_to_charmap
+
+    cm = icu_chain_to_charmap(oracle.ICU_DEMO_XML)
+    df = spark.createDataFrame(oracle.ICU_DEMO_ROWS, ["sid", "t"])
+    return (
+        tokenize(df, text_col="t", id_col="sid", alphabet=cm)
+        .select(F.col("doc_id").alias("sid"), "term", "pos")
+        .orderBy("sid", "pos")
+    )
+
+
 def q_charmap_chr(spark, sf_dir):
     """Full .chr charmap-FILE support (tab/string.chr syntax →
     util/charmap.c:743-823): the demo spec exercises every directive
@@ -1720,6 +1741,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "update_by_matchkey": (q_update_by_matchkey, _MATCHKEY_SQL),
     "streaming_incremental_search": (q_streaming_incremental_search,
      oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
+    "icu_chain": (q_icu_chain, oracle.icu_chain_sql()),
     # -- (c) code paths touched in round 5
     "wand_bm25_or": (q_wand_bm25_or, oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
     "wand_bm25_and": (q_wand_bm25_and, oracle.bm25_topk_sql(["spark", "query"], 10, "and")),
@@ -1735,10 +1757,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "incremental_compact_search": (
         q_incremental_compact_search,
         oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
-    "scan_around": (q_scan_around, _SCAN_AROUND_SQL),
     "multi_db_search": (q_multi_db_search,
                         oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
     # -- fresh green row in CORRECTNESS_r04; unchanged this round
+    "scan_around": (q_scan_around, _SCAN_AROUND_SQL),
     "text_token_stats": (q_text_token_stats, oracle_ml.token_stats_sql(200)),
     "text_quality": (q_text_quality, oracle_ml.quality_sql(200)),
     "text_langid": (q_text_langid, oracle_ml.lang_id_sql(200)),

@@ -104,6 +104,41 @@ class Charmap:
     def split_regex(self) -> str:
         return "[^" + re.escape(self.value_set) + "]+"
 
+    def batched_replaces(self):
+        """Partition ``replaces`` into (sequential, translate) parts
+        when that is provably order-equivalent, so a map with many
+        single-char pairs (an ICU chain compiles to ~80 deletions)
+        becomes ONE JVM translate() instead of 80 chained replaces.
+
+        Batching a pair into the translate is safe iff the whole list
+        is independent: every batched src is a single char with a
+        ≤1-char dst, batched srcs are distinct, and no batched src
+        char appears in ANY pair's src-beyond-itself or dst (so no
+        pair can produce or consume a batched char — application
+        order then cannot matter). Otherwise returns None and callers
+        keep the in-order sequential semantics."""
+        seq, mapped, deleted = [], [], []
+        for src, dst in self.replaces:
+            if len(src) == 1 and len(dst) == 1:
+                mapped.append((src, dst))
+            elif len(src) == 1 and dst == "":
+                deleted.append(src)
+            else:
+                seq.append((src, dst))
+        b_src = [s for s, _ in mapped] + deleted
+        if len(set(b_src)) != len(b_src):
+            return None
+        batched = set(b_src)
+        for src, dst in self.replaces:
+            if batched & set(dst):
+                return None
+            if len(src) > 1 and batched & set(src):
+                return None
+        # mapped pairs first, deletions after: translate() deletes the
+        # src chars that have no dst counterpart (the tail)
+        return (tuple(seq), "".join(b_src),
+                "".join(d for _, d in mapped))
+
     def normalize_column(self, col: Column) -> Column:
         """Case-fold + apply mappings, all JVM expressions. The
         spec's parallel-position case pairs run BEFORE the generic
@@ -113,6 +148,14 @@ class Charmap:
         if self.case_src:
             col = F.translate(col, self.case_src, self.case_dst)
         col = F.lower(col)
+        b = self.batched_replaces()
+        if b is not None:
+            seq, tr_src, tr_dst = b
+            for src, dst in seq:
+                col = F.replace(col, F.lit(src), F.lit(dst))
+            if tr_src:
+                col = F.translate(col, tr_src, tr_dst)
+            return col
         for src, dst in self.replaces:
             col = F.replace(col, F.lit(src), F.lit(dst))
         return col
@@ -122,6 +165,14 @@ class Charmap:
         if self.case_src:
             s = s.translate(str.maketrans(self.case_src, self.case_dst))
         s = s.lower()
+        b = self.batched_replaces()
+        if b is not None:
+            seq, tr_src, tr_dst = b
+            for src, dst in seq:
+                s = s.replace(src, dst)
+            return s.translate({
+                ord(c): (tr_dst[i] if i < len(tr_dst) else None)
+                for i, c in enumerate(tr_src)})
         for src, dst in self.replaces:
             s = s.replace(src, dst)
         return s

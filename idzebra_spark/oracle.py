@@ -272,24 +272,70 @@ CHR_DEMO_ROWS = [
 ]
 
 
-def charmap_chr_sql() -> str:
-    """.chr-spec tokenization oracle: DuckDB applies the SAME parsed
-    mapping (replace chain in file order, then the value-set split) —
-    the Charmap object itself generates the SQL, so the two engines
-    cannot drift."""
-    from idzebra_spark.functions.charmap import charmap_from_chr
+def _slit(s: str) -> str:
+    r"""Render a string as a DuckDB literal, including the quotes.
+    Strings holding control characters use an e'' escape string with
+    \xHH escapes (a raw C0 byte inside a plain literal breaks the
+    parser); everything else is a plain quoted literal."""
+    if any(ord(c) < 0x20 or 0x7F <= ord(c) < 0xA0 for c in s):
+        # C0 + DEL go through \xHH escapes; C1 (0x80-0x9F) would be
+        # invalid UTF-8 as a \x byte and DuckDB has no \u escape, so
+        # those splice in as chr(n) concatenations
+        parts: list[str] = []
+        buf: list[str] = []
 
-    cm = charmap_from_chr(CHR_DEMO_SPEC)
+        def flush():
+            if buf:
+                parts.append("e'" + "".join(buf) + "'")
+                buf.clear()
+
+        for c in s:
+            o = ord(c)
+            if 0x80 <= o < 0xA0:
+                flush()
+                parts.append(f"chr({o})")
+            elif c == "\\":
+                buf.append("\\\\")
+            elif c == "'":
+                buf.append("''")
+            elif o < 0x20 or o == 0x7F:
+                buf.append(f"\\x{o:02X}")
+            else:
+                buf.append(c)
+        flush()
+        expr = " || ".join(parts)
+        return f"({expr})" if len(parts) > 1 else expr
+    return "'" + s.replace("'", "''") + "'"
+
+
+def charmap_tok_sql(cm, rows) -> str:
+    """Tokenization oracle for ANY compiled Charmap (a parsed .chr
+    file or a compiled ICU chain): DuckDB applies the SAME normalize
+    pipeline the Spark tokenizer does — the Charmap object itself
+    generates the SQL, so the two engines cannot drift. Uses the same
+    batched-translate fast path as normalize_column when the map
+    qualifies (DuckDB translate drops the tail src chars exactly like
+    the JVM one)."""
     expr = "t"
     if cm.case_src:  # case pairs BEFORE lower(), as normalize_column
-        expr = f"translate({expr}, '{cm.case_src}', '{cm.case_dst}')"
+        expr = (f"translate({expr}, {_slit(cm.case_src)}, "
+                f"{_slit(cm.case_dst)})")
     expr = f"lower({expr})"
-    for src, dst in cm.replaces:
-        expr = f"replace({expr}, '{src}', '{dst}')"
+    b = cm.batched_replaces()
+    if b is not None:
+        seq, tr_src, tr_dst = b
+        for src, dst in seq:
+            expr = f"replace({expr}, {_slit(src)}, {_slit(dst)})"
+        if tr_src:
+            expr = (f"translate({expr}, {_slit(tr_src)}, "
+                    f"{_slit(tr_dst)})")
+    else:
+        for src, dst in cm.replaces:
+            expr = f"replace({expr}, {_slit(src)}, {_slit(dst)})"
     import re as _re
 
     neg = "[^" + _re.escape(cm.value_set) + "]+"
-    vals = ", ".join(f"({i}, '{s}')" for i, s in CHR_DEMO_ROWS)
+    vals = ", ".join(f"({i}, {_slit(s)})" for i, s in rows)
     return f"""
 WITH src(sid, t) AS (VALUES {vals}),
 arr AS (
@@ -304,6 +350,46 @@ SELECT sid, unnest(a) AS term,
        CAST(unnest(range(1, len(a) + 1)) AS INT) AS pos
 FROM arr ORDER BY sid ASC, pos ASC
 """
+
+
+def charmap_chr_sql() -> str:
+    """.chr-spec tokenization oracle (see charmap_tok_sql)."""
+    from idzebra_spark.functions.charmap import charmap_from_chr
+
+    return charmap_tok_sql(charmap_from_chr(CHR_DEMO_SPEC),
+                           CHR_DEMO_ROWS)
+
+
+ICU_DEMO_XML = """
+<icu_chain locale="en">
+  <transform rule="[:Control:] Any-Remove"/>
+  <tokenize rule="l"/>
+  <transform rule="[[:WhiteSpace:][:Punctuation:]] Remove"/>
+  <transform rule="Any-Latin; Latin-ASCII"/>
+  <display/>
+  <casemap rule="l"/>
+</icu_chain>
+"""
+
+# exercises every compiled element: control-join, apostrophe-join,
+# boundary punctuation, NFD accent strip, non-decomposing letters and
+# ligatures, casemap
+ICU_DEMO_ROWS = [
+    (0, "Don't STOP\u2014now! Caf\u00e9 BR\u00dbL\u00c9E"),
+    (1, "l'\u00e9t\u00e9, c'est \u00c7A (vraiment)"),
+    (2, "Stra\u00dfe \u0001ok \u00c6\u00d8\u00c5 sm\u00f8rrebr\u00f8d"),
+    (3, "x9 na\u00efve fa\u00e7ade \u2019tis"),
+]
+
+
+def icu_chain_sql() -> str:
+    """ICU-chain tokenization oracle: the chain is COMPILED to a
+    Charmap (functions/icu.py — zebramap.c:232-266 icuchain configs)
+    and the same object emits the DuckDB pipeline."""
+    from idzebra_spark.functions.icu import icu_chain_to_charmap
+
+    return charmap_tok_sql(icu_chain_to_charmap(ICU_DEMO_XML),
+                           ICU_DEMO_ROWS)
 
 
 def charmap_fold_sql() -> str:
