@@ -1111,6 +1111,49 @@ ORDER BY term ASC
 """
 
 
+_SCAN_LIMFIELD_SQL = """
+WITH fdocs AS (
+  SELECT doc_id, 's' || CAST(doc_id % 7 AS VARCHAR) AS srcterm
+  FROM documents
+),
+lim AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+d AS (
+  SELECT srcterm AS term, CAST(count(*) AS BIGINT) AS df
+  FROM fdocs JOIN lim USING (doc_id) GROUP BY srcterm
+),
+be4 AS (SELECT term, df FROM d WHERE term < 's4' ORDER BY term DESC LIMIT 2),
+aft AS (SELECT term, df FROM d WHERE term >= 's4' ORDER BY term ASC LIMIT 3)
+SELECT term, df FROM (SELECT * FROM be4 UNION ALL SELECT * FROM aft)
+ORDER BY term ASC
+"""
+
+
+def q_scan_limited_fielded(spark, sf_dir):
+    """Scan with a LIMITING result set inside a FIELD register — the
+    combined rpnscan path (rpnscan.c:200-283 limit probing + :285-480
+    multi-ordinal scoping) that the hypothesis fuzz exercises, now
+    under the driver's hard oracle: browse the `src` register around
+    's4' with the window ±(3,2), counting each term only within the
+    doc_id%3==0 hit set."""
+    key = sf_dir + "#scanfield"
+    if key not in _IDX_CACHE:
+        import tempfile
+
+        from idzebra_spark.operators.segment import build_index
+        from idzebra_spark.operators.wand import SegmentIndex
+
+        docs = _docs(spark, sf_dir).withColumn(
+            "src", F.concat(F.lit("s"), F.col("doc_id") % 7))
+        path = tempfile.mkdtemp(prefix="idzebra_entry_sf_") + "/idx"
+        build_index(spark, docs, path, shard_size=512, block_size=128,
+                    fields={"w": ["src"]})
+        _IDX_CACHE[key] = SegmentIndex(spark, path)
+    idx = _IDX_CACHE[key]
+    lim = _docs(spark, sf_dir).where(F.col("doc_id") % 3 == 0) \
+        .select("doc_id")
+    return idx.scan("s4", 3, 2, limit_set=lim, field="src")
+
+
 def q_regex_fuzzy(spark, sf_dir):
     """Regexp-2 with embedded error budget (attr 5=103,
     rpnsearch.c:1211-1254 + dict/lookgrep.c): regex match OR ≤1 edit
@@ -1742,6 +1785,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "streaming_incremental_search": (q_streaming_incremental_search,
      oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
     "icu_chain": (q_icu_chain, oracle.icu_chain_sql()),
+    "scan_limited_fielded": (q_scan_limited_fielded, _SCAN_LIMFIELD_SQL),
     # -- (c) code paths touched in round 5
     "wand_bm25_or": (q_wand_bm25_or, oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
     "wand_bm25_and": (q_wand_bm25_and, oracle.bm25_topk_sql(["spark", "query"], 10, "and")),
@@ -1757,10 +1801,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "incremental_compact_search": (
         q_incremental_compact_search,
         oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
-    "multi_db_search": (q_multi_db_search,
-                        oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
     # -- fresh green row in CORRECTNESS_r04; unchanged this round
     "scan_around": (q_scan_around, _SCAN_AROUND_SQL),
+    "multi_db_search": (q_multi_db_search,
+                        oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
     "text_token_stats": (q_text_token_stats, oracle_ml.token_stats_sql(200)),
     "text_quality": (q_text_quality, oracle_ml.quality_sql(200)),
     "text_langid": (q_text_langid, oracle_ml.lang_id_sql(200)),
