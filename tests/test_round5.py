@@ -133,6 +133,29 @@ class TestMatchKeyUpdate:
         assert [r["doc_id"] for r in hits] == [3]  # sysno of key k3
         shutil.rmtree(base, ignore_errors=True)
 
+    def test_matchkey_survives_compaction(self, spark, keyed_docs):
+        """compact_index rewrites doc_meta with every column, so the
+        stored match_key — and therefore match-resolution — must keep
+        working across a compaction."""
+        from idzebra_spark.operators.segment import compact_index
+
+        base = tempfile.mkdtemp(prefix="idz_mkc_")
+        p = base + "/idx"
+        build_index(spark, keyed_docs, p, shard_size=64, block_size=32,
+                    match_cols=["mkey"])
+        update_index(spark, _rekeyed(keyed_docs, 10_000_000), p)
+        compact_index(spark, p)
+        # post-compact: a pure re-key must still be zero work...
+        m = update_index(
+            spark,
+            _rekeyed(keyed_docs, 20_000_000), p)
+        assert m["changed_shards"] == 0
+        # ...and identity still resolves to the original ids
+        idx = SegmentIndex(spark, p)
+        hits = idx.topk(["zzupdated"], 5).collect()
+        assert hits and max(r["doc_id"] for r in hits) < 10_000_000
+        shutil.rmtree(base, ignore_errors=True)
+
     def test_match_update_without_built_keys_raises(self, spark, keyed_docs):
         base = tempfile.mkdtemp(prefix="idz_mkerr_")
         p = base + "/idx"
