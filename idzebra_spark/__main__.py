@@ -90,6 +90,11 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--shard-size", type=int, default=None)
         sp.add_argument("--no-positions", action="store_true",
                         default=None)
+        sp.add_argument("--match-cols", default=None,
+                        help="comma-list of record-identity columns "
+                             "(Zebra match spec): updates resolve "
+                             "records by this key, preserving the "
+                             "internal id across re-keyed crawls")
 
     sp = sub.add_parser("search")
     common(sp, corpus=True)  # optional: search is index-only
@@ -159,6 +164,8 @@ def main(argv: list[str] | None = None) -> int:
         f = _fields(a.fields)
         if f is not None:
             kw["fields"] = f
+        if a.match_cols:
+            kw["match_cols"] = [c for c in a.match_cols.split(",") if c]
         m = (z.build if a.cmd == "build" else z.update)(corpus, **kw)
         print(json.dumps({k: v for k, v in m.items()
                           if isinstance(v, (int, float, str))}))

@@ -1056,6 +1056,21 @@ class SegmentIndex:
     def _empty_result(self) -> DataFrame:
         return self.spark.createDataFrame([], RESULT_SCHEMA)
 
+    def close(self) -> None:
+        """Release this handle's Spark storage: the shard_batch cache,
+        the cache_hot blocks/norms, and the pinned serving norms.
+        A handle is cheap to reopen; long-lived sessions juggling many
+        registers (notebooks, the entry-point cache) can bound their
+        storage memory by closing handles they are done with."""
+        for df in (getattr(self, "_pnorms", None), self.blocks,
+                   self.norms, self.shard_batch):
+            try:
+                if df is not None:
+                    df.unpersist()
+            except Exception:
+                pass
+        self._pnorms = None
+
     def _norms_side(self, blk: DataFrame) -> DataFrame:
         """The norms input of a cogrouped kernel, already pinned.
 
