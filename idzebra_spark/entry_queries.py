@@ -1154,6 +1154,32 @@ def q_scan_limited_fielded(spark, sf_dir):
     return idx.scan("s4", 3, 2, limit_set=lim, field="src")
 
 
+_APPROX_COUNT_SQL = f"""
+WITH {oracle.TOKS_CTE},
+m AS (SELECT DISTINCT doc_id FROM posting
+      WHERE term IN ('merge', 'sort')),
+tot AS (SELECT count(*) AS t FROM documents),
+pick AS (SELECT doc_id FROM documents WHERE (doc_id // 512) % 4 = 0),
+g AS (SELECT count(*) AS g FROM pick),
+sh AS (SELECT count(*) AS s FROM m JOIN pick USING (doc_id))
+SELECT CAST((s * t + g // 2) // g AS BIGINT) AS approx_hits
+FROM sh, tot, g
+"""
+
+
+def q_approx_count(spark, sf_dir):
+    """Approximate hit count (zsets.c:1498-1522 estimatehits): count
+    exactly on a deterministic 1/4 systematic shard sample and scale
+    by the sampled document fraction with integer half-up arithmetic
+    — with the 'stride' picker the estimate is a pure function of the
+    corpus, so the DuckDB oracle reproduces it EXACTLY (shard =
+    doc_id div 512, every 4th shard)."""
+    idx = _index(spark, sf_dir)
+    n = idx.approx_count(["merge", "sort"], "or",
+                         sample=0.25, picker="stride")
+    return spark.createDataFrame([(n,)], "approx_hits long")
+
+
 def q_regex_fuzzy(spark, sf_dir):
     """Regexp-2 with embedded error budget (attr 5=103,
     rpnsearch.c:1211-1254 + dict/lookgrep.c): regex match OR ≤1 edit
@@ -1786,6 +1812,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
      oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
     "icu_chain": (q_icu_chain, oracle.icu_chain_sql()),
     "scan_limited_fielded": (q_scan_limited_fielded, _SCAN_LIMFIELD_SQL),
+    "approx_hit_count": (q_approx_count, _APPROX_COUNT_SQL),
     # -- (c) code paths touched in round 5
     "wand_bm25_or": (q_wand_bm25_or, oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
     "wand_bm25_and": (q_wand_bm25_and, oracle.bm25_topk_sql(["spark", "query"], 10, "and")),
@@ -1798,10 +1825,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sim_cosine_q8": (q_sim_cosine_q8, oracle_ml.cosine_topk_q8_sql(0, 10)),
     "sim_q8_indexed": (q_sim_q8_indexed, oracle_ml.cosine_topk_q8_sql(0, 10)),
     "seg_scan_limited": (q_seg_scan_limited, _SCAN_LIMITED_SQL),
+    # -- fresh green row in CORRECTNESS_r04; unchanged this round
     "incremental_compact_search": (
         q_incremental_compact_search,
         oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),
-    # -- fresh green row in CORRECTNESS_r04; unchanged this round
     "scan_around": (q_scan_around, _SCAN_AROUND_SQL),
     "multi_db_search": (q_multi_db_search,
                         oracle.bm25_topk_sql(["merge", "sort"], 10, "or")),

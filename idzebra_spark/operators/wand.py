@@ -1580,20 +1580,30 @@ class SegmentIndex:
         return blk.mapInPandas(gen, POSTINGS_SCHEMA)
 
     def approx_count(self, terms: list[str], mode: str = "or",
-                     sample: float = 0.25) -> int:
+                     sample: float = 0.25, picker: str = "hash") -> int:
         """Approximate hit count — Zebra's hits_limit/estimatehits
         stops counting early and extrapolates from the position ratio
         (/root/reference/index/zsets.c:1498-1522). Here: count exactly
         on a deterministic ``sample`` fraction of shards and scale by
-        the sampled fraction of documents."""
+        the sampled fraction of documents. The scale-up is integer
+        arithmetic (half-up), so the estimate is engine-independent.
+
+        ``picker``: 'hash' (default) pseudo-randomizes the shard draw
+        via xxhash64; 'stride' takes every ``round(1/sample)``-th
+        shard by id — systematic sampling over the docid range, and
+        expressible in plain SQL (the oracle entry uses it)."""
         terms = sorted(set(t.lower() for t in terms))
         info = self.lookup_terms(terms)
         if not info or (mode == "and" and len(info) < len(terms)):
             return 0
         shards = self.norms.select("shard", "n_docs")
-        picked = shards.where(
-            F.pmod(F.xxhash64("shard"), 1000) < int(sample * 1000)
-        )
+        if picker == "stride":
+            stride = max(int(round(1.0 / sample)), 1)
+            picked = shards.where(F.pmod(F.col("shard"), stride) == 0)
+        else:
+            picked = shards.where(
+                F.pmod(F.xxhash64("shard"), 1000) < int(sample * 1000)
+            )
         tot = shards.agg(F.sum("n_docs")).collect()[0][0]
         got = picked.agg(F.sum("n_docs")).collect()[0][0]
         if not got:
@@ -1616,7 +1626,9 @@ class SegmentIndex:
         if mode == "and":
             rows = rows.where(F.col("n_matched") == len(terms))
         sampled_hits = rows.count()
-        return int(round(sampled_hits * (tot / got)))
+        # integer half-up scale: no float, no banker's-rounding skew —
+        # DuckDB computes the identical value from the same integers
+        return int((sampled_hits * int(tot) + int(got) // 2) // int(got))
 
     def phrase(self, terms: list[str], k: int = 10) -> DataFrame:
         """Exact adjacent phrase over the segment's stored positions →
