@@ -1870,3 +1870,36 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "marc_record_filter": (q_marc_record_filter, _MARC_FILTER_SQL),
 }
 
+# Round-6 rotation (the driver samples the FIRST 50 entries): lead
+# with (a) every entry whose latest driver row is round 4 — nothing
+# may go two rounds unsampled (tests/test_registry_freshness.py
+# enforces this mechanically) — then (b) the r5-checked entries whose
+# code paths round 6 rewrote (numpy embedding-dedup kernel, brute
+# BM25 restructure, doc-array build kernel feeding every index-backed
+# entry, serving-layout pinning, q8 memo LRU). Rotation only reorders
+# the dict; every entry's query fn and oracle SQL text are unchanged.
+_R6_HEAD = [
+    # (a) latest row = CORRECTNESS_r04
+    "incremental_compact_search", "scan_around", "multi_db_search",
+    "text_token_stats", "text_quality", "text_langid", "text_fingerprint",
+    "dedup_exact", "dedup_jaccard", "dedup_minhash_lsh",
+    "sim_cosine_topk", "sim_ivf_topk", "seg_prox_ordered", "seg_facets",
+    "seg_snippets", "rank1", "rank2", "record_fetch", "index_stats",
+    "between_scope", "within_unit", "seg_between", "seg_within_unit",
+    "bool_not", "prox_unordered", "trunc_prefix", "regex_terms",
+    "facets", "snippets", "sort_by_field", "parsed_bool",
+    "edit_distance", "xml_mapped_fields", "record_fetch_index",
+    "charmap_fold", "charmap_chr", "xml_record_filter",
+    "xml_fielded_search", "marc_record_filter",
+    # (b) r5-checked, code rewritten in round 6
+    "dedup_embedding", "dedup_contamination", "bm25_single", "bm25_or",
+    "bm25_and", "sim_lsh_topk", "sim_cosine_q8", "sim_q8_indexed",
+    "wand_bm25_or", "wand_tree_batch", "streaming_incremental_search",
+]
+assert set(_R6_HEAD) <= set(REGISTRY), sorted(set(_R6_HEAD) - set(REGISTRY))
+REGISTRY = {
+    **{name: REGISTRY[name] for name in _R6_HEAD},
+    **{name: fn_sql for name, fn_sql in REGISTRY.items()
+       if name not in _R6_HEAD},
+}
+

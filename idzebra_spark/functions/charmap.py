@@ -129,10 +129,18 @@ class Charmap:
         if len(set(b_src)) != len(b_src):
             return None
         batched = set(b_src)
+        mapped_dst = {d for _, d in mapped}
         for src, dst in self.replaces:
             if batched & set(dst):
                 return None
-            if len(src) > 1 and batched & set(src):
+        for src, dst in seq:
+            # a sequential pair that CONSUMES a batched src (order
+            # decides whether the batched rule fires first: replaces
+            # [(a,b),(a,xy)] on 'a' is 'b' in-order, 'xy' batched) or
+            # a batched DST (a batched rule can feed it: [(a,b),
+            # (bc,x)] on 'ac' is 'x' in-order, 'bc' batched) makes
+            # application order observable — keep sequential semantics
+            if set(src) & (batched | mapped_dst):
                 return None
         # mapped pairs first, deletions after: translate() deletes the
         # src chars that have no dst counterpart (the tail)

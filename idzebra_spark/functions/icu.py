@@ -44,7 +44,14 @@ worse than a loud error):
     decomposition (1:1 pairs computed at compile time).
   - ``(Any-Latin; )?Latin-ASCII``       — the fuller fold: NFD strip
     plus the non-decomposing letters and ligatures (ø→o, æ→ae, ß→ss),
-    reusing the tokenizer's explicit fold tables.
+    reusing the tokenizer's explicit fold tables. KNOWN GAP: only the
+    Latin-ASCII half is implemented — the Any-Latin script
+    TRANSLITERATION (Greek/Cyrillic/… → Latin) is not, so non-Latin
+    text tokenizes to nothing (dropped by the [0-9a-z] value set)
+    instead of transliterated terms. The rule stays accepted because
+    it appears in real chains whose corpora are Latin-script; for a
+    non-Latin corpus this chain does NOT match ICU intent — use
+    ``alphabet='unicode'`` or a custom .chr map instead.
   - ``Any-Lower`` / ``Lower``           — same as casemap l.
 - ``<display/>``, ``<index/>``, ``<sortkey/>`` — display/sort forks
   are not materialized (the engine serves display terms from the

@@ -99,6 +99,12 @@ def tokenize_array(text: Column, alphabet: str = "ascii") -> Column:
     charmap.c equivalent-class behavior) before the ASCII split; the
     default keeps [0-9a-z] only — the reference's default charmap and
     the oracle contract.
+
+    (r6 note: a boundary-empty ``slice`` + per-row-guarded truncation
+    variant was built and measured SLOWER — the extra references to
+    the split result re-evaluate the regex split per reference (no CSE
+    across interpreted HOF boundaries), 1.09 s → 3.41 s on the sf1.0
+    corpus scan. The single filter+transform chain keeps one split.)
     """
     if not isinstance(alphabet, str):
         # a parsed .chr Charmap (functions/charmap.py): custom value

@@ -65,20 +65,38 @@ def bm25_topk(
     mode='and' : all terms must match (rsmulti_and scope-2 semantics)
     """
     terms = sorted(set(t.lower() for t in terms))
-    toks = tokenize(corpus, text_col, id_col)
-    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("doclen"))
+    # One tokenized projection feeds doclen AND the term filter
+    # (r6 shape — was: full-token posexplode, corpus-wide doclen
+    # groupBy shuffle, then a doc_id join to attach doclen):
+    # - doclen = size(token array), identical to counting the exploded
+    #   postings, with NO full-token Generate and NO corpus-wide
+    #   groupBy; it rides through the tf aggregate as min(doclen)
+    #   (constant per doc), so the doclen join disappears entirely.
+    # - the term filter runs INSIDE the array before the explode, so
+    #   the Generate emits only matching occurrences, not every token.
+    # - df_per_term re-aggregates the same tf subtree — the identical
+    #   exchange is shared (ReuseExchange), not recomputed.
+    base = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize_array(F.col(text_col)).alias("_toks"),
+    )
     stats = corpus_stats(corpus, text_col, id_col)
 
     tf = (
-        toks.where(F.col("term").isin(terms))
+        base.select(
+            "doc_id",
+            F.size("_toks").alias("doclen"),
+            F.explode(
+                F.filter("_toks", lambda t: t.isin(terms))
+            ).alias("term"),
+        )
         .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf"), F.min("doclen").alias("doclen"))
     )
     df_per_term = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
 
     scored = (
         tf.join(F.broadcast(df_per_term), "term")
-        .join(doclen, "doc_id")
         .crossJoin(F.broadcast(stats))
         .withColumn("idf", bm25_idf(F.col("df"), F.col("n_docs")))
         .withColumn(
@@ -98,7 +116,11 @@ def bm25_topk(
         scored = scored.where(F.col("n_matched") == len(terms))
     if not_terms:
         neg = sorted(set(t.lower() for t in not_terms))
-        neg_docs = toks.where(F.col("term").isin(neg)).select("doc_id").distinct()
+        # array `exists` instead of explode+distinct: one boolean per
+        # doc, same excluded-doc set, no Generate and no dedup shuffle
+        neg_docs = base.where(
+            F.exists("_toks", lambda t: t.isin(neg))
+        ).select("doc_id")
         scored = scored.join(neg_docs, "doc_id", "left_anti")
     return (
         scored.select(

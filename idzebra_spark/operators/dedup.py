@@ -113,8 +113,14 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = "text",
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    out = base.select("doc_id", F.explode(sh).alias("shingle"))
-    return out.distinct() if distinct else out
+    if distinct:
+        # per-doc distinct INSIDE the array: (doc_id, shingle) dedup
+        # needs no corpus-wide shuffle because doc_id is part of the
+        # key — array_distinct before the explode is set-identical to
+        # .distinct() after it, and the plan loses one full Exchange
+        # + hash-aggregate over every shingle occurrence
+        sh = F.array_distinct(sh)
+    return base.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 def jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,

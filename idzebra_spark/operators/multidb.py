@@ -75,11 +75,14 @@ class MultiSegmentIndex(SegmentIndex):
             [shift(s.blocks, i) for i, s in enumerate(self.subs)])
         self.norms = union_all(
             [shift(s.norms, i) for i, s in enumerate(self.subs)])
-        if cache_hot:
-            self.blocks = self.blocks.cache()
-            self.norms = self.norms.cache()
-        self._has_reindex = any(s._has_reindex for s in self.subs)
         self._cache_hot = cache_hot
+        if cache_hot:
+            # same serving layout as SegmentIndex (r6): persist hash-
+            # partitioned by shard so per-query plans cogroup with no
+            # exchange (term filters preserve the partitioning)
+            self.blocks = self._pin(self.blocks).cache()
+            self.norms = self._pin(self.norms).cache()
+        self._has_reindex = any(s._has_reindex for s in self.subs)
         self._pnorms = None
         self._stats = None
         self._dict = None

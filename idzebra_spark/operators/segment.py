@@ -200,6 +200,123 @@ def _build_shard_blocks(block_size: int, store_positions: bool):
     return fn
 
 
+def _build_shard_blocks_from_docs(block_size: int, store_positions: bool):
+    """Kernel: encode all posting blocks for one shard straight from
+    per-DOC token arrays ``(shard, doc_id, toks)``.
+
+    The r6 replacement for the explode → groupBy(shard, term, doc_id)
+    → collect_list(sort_array) pipeline that fed
+    :func:`_build_shard_blocks`: the posting-level aggregation (one
+    shuffled row per occurrence, one collect_list array per posting)
+    was the single most expensive build stage (measured 5.4 s of a
+    9.7 s sf1.0 build as a noop). Here the shuffle moves one row per
+    DOC (the token array — the same bytes as the text), and the
+    tf/position aggregation is a vectorized factorize + lexsort in the
+    kernel. Output blocks are byte-identical: the same
+    ``factorize(sort=True)`` term order, the same (term, doc) posting
+    order, and positions are 1-based token indexes exactly as
+    ``tokenize`` assigns them."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame([], columns=[f.name for f in BLOCK_SCHEMA.fields])
+        shard = int(pdf["shard"].iloc[0])
+        tok_lists = pdf["toks"].to_numpy()
+        lens = np.fromiter((len(x) for x in tok_lists), np.int64,
+                           count=len(pdf))
+        total = int(lens.sum())
+        if total == 0:
+            return pd.DataFrame([], columns=[f.name for f in BLOCK_SCHEMA.fields])
+        doc_all = np.repeat(pdf["doc_id"].to_numpy(np.int64), lens)
+        starts = np.zeros(lens.size, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        # 1-based position within the doc (tokenize's posexplode + 1)
+        pos_all = (np.arange(total, dtype=np.int64)
+                   - np.repeat(starts, lens) + 1)
+        flat = np.concatenate([np.asarray(x, dtype=object)
+                               for x in tok_lists])
+        codes_all, uniques = pd.factorize(flat, sort=True)
+        # order postings (term, doc, pos); pos is ascending within
+        # (term, doc) after the stable lexsort, which is exactly the
+        # sort_array(collect_list(pos)) the aggregate form produced
+        order = np.lexsort((pos_all, doc_all, codes_all))
+        codes_all, doc_all, pos_all = (
+            codes_all[order], doc_all[order], pos_all[order])
+
+        # collapse occurrences → postings: run boundaries of (term, doc)
+        new_post = np.empty(total, dtype=bool)
+        new_post[0] = True
+        new_post[1:] = (codes_all[1:] != codes_all[:-1]) | (
+            doc_all[1:] != doc_all[:-1])
+        p_starts = np.nonzero(new_post)[0]
+        tf = np.diff(np.append(p_starts, total)).astype(np.int64)
+        codes = codes_all[p_starts]
+        doc = doc_all[p_starts]
+        n = codes.size
+
+        # from here the block assembly is identical to
+        # _build_shard_blocks (same metadata, same codecs)
+        term_change = np.empty(n, dtype=bool)
+        term_change[0] = True
+        term_change[1:] = codes[1:] != codes[:-1]
+        term_starts_all = np.nonzero(term_change)[0]
+        idx_in_term = np.arange(n, dtype=np.int64) - np.repeat(
+            term_starts_all, np.diff(np.append(term_starts_all, n))
+        )
+        is_bs = (idx_in_term % block_size) == 0
+        bs_idx = np.nonzero(is_bs)[0]
+        be_idx = np.append(bs_idx[1:], n)
+
+        n_docs = (be_idx - bs_idx).astype(np.int32)
+        first = doc[bs_idx]
+        last = doc[be_idx - 1]
+        max_tf = np.maximum.reduceat(tf, bs_idx).astype(np.int32)
+        sum_tf = np.add.reduceat(tf, bs_idx)
+        block_seq = (idx_in_term[bs_idx] // block_size).astype(np.int32)
+        terms = np.asarray(uniques, dtype=object)[codes[bs_idx]]
+
+        dd = np.empty(n, dtype=np.uint64)
+        dd[1:] = (doc[1:] - doc[:-1]).astype(np.uint64)
+        dd[bs_idx] = doc[bs_idx].astype(np.uint64)
+        dbuf, doff = varint_encode_offsets(dd)
+        tbuf, toff = varint_encode_offsets(tf.astype(np.uint64))
+        docids_bin = [dbuf[doff[s]:doff[e]] for s, e in zip(bs_idx, be_idx)]
+        tfs_bin = [tbuf[toff[s]:toff[e]] for s, e in zip(bs_idx, be_idx)]
+
+        if store_positions:
+            # pos_all is already flat in posting order; per-doc delta
+            # with a reset at each posting's first occurrence
+            tok_start = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(tf, out=tok_start[1:])
+            pdelta = np.empty(total, dtype=np.uint64)
+            pdelta[1:] = (pos_all[1:] - pos_all[:-1]).astype(np.uint64)
+            pstarts = tok_start[:-1]
+            pdelta[pstarts] = pos_all[pstarts].astype(np.uint64)
+            pbuf, poff = varint_encode_offsets(pdelta)
+            pos_bin = [
+                pbuf[poff[tok_start[s]]:poff[tok_start[e]]]
+                for s, e in zip(bs_idx, be_idx)
+            ]
+        else:
+            pos_bin = [b""] * len(bs_idx)
+
+        return pd.DataFrame({
+            "term": terms,
+            "shard": np.full(len(bs_idx), shard, dtype=np.int64),
+            "block_seq": block_seq,
+            "n_docs": n_docs,
+            "first_docid": first,
+            "last_docid": last,
+            "max_tf": max_tf,
+            "sum_tf": sum_tf,
+            "docids_bin": docids_bin,
+            "tfs_bin": tfs_bin,
+            "pos_bin": pos_bin,
+        })
+
+    return fn
+
+
 def _build_norms(pdf: pd.DataFrame) -> pd.DataFrame:
     """Kernel: per-shard norms row. Input (shard, doc_id, doclen)."""
     if len(pdf) == 0:
@@ -384,8 +501,15 @@ def write_build_meta(spark: SparkSession, path: str, **params) -> None:
         os.makedirs(tmp)
         with open(os.path.join(tmp, "part-00000"), "w") as fh:
             fh.write(json.dumps(params) + "\n")
-        shutil.rmtree(old, ignore_errors=True)
+        # Clear ._old ONLY when a current meta exists to take its
+        # place: after a prior crash that left ._old as the only
+        # readable copy (build_meta absent), deleting it first would
+        # open a window where a second crash leaves a COMMITTED index
+        # with no readable meta at all — the exact state the ._old
+        # fallback exists to prevent. ._old is removed only after the
+        # new dir is published.
         if os.path.isdir(d):
+            shutil.rmtree(old, ignore_errors=True)
             os.rename(d, old)          # keep the prior meta readable
         os.rename(tmp, d)              # atomic publish of the new one
         shutil.rmtree(old, ignore_errors=True)
@@ -601,6 +725,7 @@ def build_index(
     if cache_source:
         src = src.cache()
     tick("plan")
+    _to_unpersist: list[DataFrame] = []
 
     # doc_meta: per-row sha256 invariant + doclen — ONE scan, no join
     if pretokenized:
@@ -630,6 +755,16 @@ def build_index(
             meta_cols.append(match_key_expr(match_cols).alias("match_key"))
         meta = src.select("shard", "doc_id", *meta_cols)
 
+    # meta feeds THREE consumers (the doc_meta write, the norms
+    # kernel, the lineage doc counts) — without a cache each one
+    # re-runs the tokenize+sha scan. The frame is doc-count-sized
+    # (~100 B/doc), so pin it under the same fits-in-memory flag as
+    # the source cache; the 100 TB path (cache_source=False) keeps
+    # re-reading the column-pruned scan instead of spilling.
+    if cache_source:
+        meta = meta.cache()
+        _to_unpersist.append(meta)
+
     # norms per shard (derived from the same single-scan projection)
     norms = (
         meta.select("shard", "doc_id", "doclen")
@@ -644,34 +779,51 @@ def build_index(
     # vectorized encode kernel per shard. Written range-partitioned +
     # sorted by term so query-term predicates prune files via parquet
     # min/max stats.
-    if pretokenized:
-        from idzebra_spark.operators.boolean import FIELD_SEP
-
-        toks = src.select(
-            "doc_id",
-            F.when(
-                F.col("field").isNotNull() & (F.col("field") != ""),
-                F.concat(F.col("field"), F.lit(FIELD_SEP), F.col("term")),
-            ).otherwise(F.col("term")).alias("term"),
-            "pos",
+    if not pretokenized and not fields:
+        # r6 fast path (the common body-text build): shuffle ONE row
+        # per doc — (shard, doc_id, token array) — and do the whole
+        # tf/position aggregation inside the shard kernel (factorize +
+        # lexsort, vectorized). The occurrence-level explode and the
+        # groupBy(shard, term, doc_id) collect_list(sort_array)
+        # aggregation it replaced were the most expensive build stage
+        # (5.4 s of a 9.7 s sf1.0 build, noop-isolated); the doc-array
+        # shuffle moves the same bytes in ~avgdl× fewer rows. Blocks
+        # are byte-identical (same factorize term order, same posting
+        # order, same codecs) — pinned by tests/test_build_parity.
+        doc_toks = src.select(
+            "shard", "doc_id",
+            tokenize_array(F.col("text"), alphabet).alias("toks"),
+        )
+        blocks = doc_toks.groupBy("shard").applyInPandas(
+            _build_shard_blocks_from_docs(block_size, store_positions),
+            BLOCK_SCHEMA,
         )
     else:
-        toks = (
-            fielded_postings(src, fields, alphabet) if fields
-            else tokenize(src, "text", "doc_id", alphabet)
+        if pretokenized:
+            from idzebra_spark.operators.boolean import FIELD_SEP
+
+            toks = src.select(
+                "doc_id",
+                F.when(
+                    F.col("field").isNotNull() & (F.col("field") != ""),
+                    F.concat(F.col("field"), F.lit(FIELD_SEP), F.col("term")),
+                ).otherwise(F.col("term")).alias("term"),
+                "pos",
+            )
+        else:
+            toks = fielded_postings(src, fields, alphabet)
+        toks = toks.withColumn("shard", shard_expr(shard_size))
+        aggs = [F.count("*").alias("tf")]
+        if store_positions:
+            aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+        # drop null/empty terms (a null 'p' field value yields term=NULL;
+        # pandas factorize would code it -1 and negative-index the uniques
+        # array, silently corrupting the last term's blocks)
+        toks = toks.where(F.col("term").isNotNull() & (F.col("term") != ""))
+        tf_rows = toks.groupBy("shard", "term", "doc_id").agg(*aggs)
+        blocks = tf_rows.groupBy("shard").applyInPandas(
+            _build_shard_blocks(block_size, store_positions), BLOCK_SCHEMA
         )
-    toks = toks.withColumn("shard", shard_expr(shard_size))
-    aggs = [F.count("*").alias("tf")]
-    if store_positions:
-        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-    # drop null/empty terms (a null 'p' field value yields term=NULL;
-    # pandas factorize would code it -1 and negative-index the uniques
-    # array, silently corrupting the last term's blocks)
-    toks = toks.where(F.col("term").isNotNull() & (F.col("term") != ""))
-    tf_rows = toks.groupBy("shard", "term", "doc_id").agg(*aggs)
-    blocks = tf_rows.groupBy("shard").applyInPandas(
-        _build_shard_blocks(block_size, store_positions), BLOCK_SCHEMA
-    )
 
     # the three pre-commit writes are independent — submit them as
     # concurrent Spark jobs (local scheduler interleaves tasks, keeping
@@ -687,9 +839,21 @@ def build_index(
         norms.withColumn("batch", F.lit(batch)).write.mode(
             "append").partitionBy("batch").parquet(f"{path}/norms")
 
+    # repartitionByRange needs range bounds, which Spark obtains by
+    # SAMPLING its child — without a persist the whole tokenize +
+    # shard-kernel pipeline runs twice (once for the sample job, once
+    # for the real shuffle). Pin the encoded blocks (they are the
+    # compressed index — a few MB per 50k docs) under the same
+    # fits-in-memory flag; the 100 TB path keeps the recompute rather
+    # than caching an index-sized frame.
+    blocks_w = blocks.withColumn("batch", F.lit(batch))
+    if cache_source:
+        blocks_w = blocks_w.persist()
+        _to_unpersist.append(blocks_w)
+
     def w_blocks():
         (
-            blocks.withColumn("batch", F.lit(batch))
+            blocks_w
             .repartitionByRange(
                 max(spark.sparkContext.defaultParallelism, 8), "term")
             .sortWithinPartitions("term", "shard", "block_seq")
@@ -782,6 +946,8 @@ def build_index(
     tick("lineage")
     lineage_rows.unpersist()
     written.unpersist()
+    for df in _to_unpersist:
+        df.unpersist()
     src.unpersist()
     return {
         "batch": batch,
@@ -971,6 +1137,27 @@ def _update_by_match_key(
     # 4. remap the snapshot to effective ids and rebuild changed shards
     mapping = j.where(F.col("new_id").isNotNull()).select(
         "match_key", eff.alias("_eff_id"))
+    # Identity guard: a NEW key enters under its own external id, which
+    # may equal the live internal id (sysno) of a DIFFERENT surviving
+    # key when external ids are recycled across crawls — the remapped
+    # snapshot would then carry two rows per doc_id and corrupt the
+    # rebuilt shard's doc_meta/norms/scoring. Each surviving key maps
+    # to its own distinct stored doc_id, so ANY duplicate effective id
+    # is such a collision (new-vs-surviving or new-vs-new); an id
+    # freed by a key deleted in this same sync produces no duplicate
+    # and stays allowed. One index-sized aggregation, never collected.
+    dup = (mapping.groupBy("_eff_id").agg(F.count("*").alias("n"))
+           .where(F.col("n") > 1).limit(1).count())
+    if dup:
+        changed.unpersist()
+        raise ValueError(
+            "match-key update id collision: an incoming NEW match key "
+            "reuses the external id of a different live record (or two "
+            "new keys share one id). Reassign fresh external ids to "
+            "the colliding records — silently merging two logical "
+            "records under one internal doc_id would corrupt the "
+            "register (reference semantics: extract.c:927-1000 keeps "
+            "sysno unique per match key).")
     remapped = (
         newc.join(mapping, newc["_mk"] == mapping["match_key"])
         .select(

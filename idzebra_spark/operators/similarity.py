@@ -41,7 +41,16 @@ def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
                 vec_col: str = "embedding",
                 id_col: str = "vec_id",
                 exclude_id: int | None = None) -> DataFrame:
-    """Exact brute-force cosine top-k: (vec_id, sim_micro)."""
+    """Exact brute-force cosine top-k: (vec_id, sim_micro).
+
+    Deliberately pure JVM expressions (r6): an exact-fold numpy kernel
+    was built and A/B-measured — it won on the full-corpus brute scan
+    only within noise (0.30 vs 0.38 s quiet, 0.415 vs 0.365 s in the
+    bench) and REGRESSED the partition-pruned LSH/IVF probes that
+    funnel their few-hundred-row candidate sets through this function
+    (q_sim_lsh_indexed 0.34 → 0.50 s: the Python stage's fixed cost
+    dwarfs the tiny input). The interpreted fold stays the right shape
+    for both callers."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     out = emb.select(
         F.col(id_col).alias("vec_id"),
@@ -90,6 +99,41 @@ def _qnorm_col() -> Column:
                        F.lit(0).cast("long"), lambda a, v: a + v * v)
 
 
+def _quantize_with_qnorm(emb: DataFrame, vec_col: str,
+                         id_col: str) -> DataFrame:
+    """(vec_id, qvec, scale, qnorm) in ONE Arrow pass — the kernel
+    twin of ``quantize_embeddings(...).withColumn('qnorm',
+    _qnorm_col())``, replacing ~3·dim interpreted fold/transform steps
+    per row. Exactness: amax is a max (associative — reduction order
+    free), the code formula ``floor(x/scale + 0.5)`` is the same
+    elementwise IEEE op chain, and qnorm is integer arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    def quant(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(list(pdf["_v"]), dtype=np.float64)
+            amax = np.abs(V).max(axis=1) if V.shape[1] else \
+                np.zeros(len(pdf))
+            scale = np.where(amax == 0.0, 1.0, amax / 127.0)
+            Q = np.floor(V / scale[:, None] + 0.5).astype(np.int32)
+            qn = (Q.astype(np.int64) ** 2).sum(axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "qvec": list(Q),
+                "scale": scale,
+                "qnorm": qn,
+            })
+
+    return emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).mapInPandas(
+        quant, "vec_id long, qvec array<int>, scale double, qnorm long")
+
+
 def _q8_topk(qframe: DataFrame, query_vec: list[float], k: int,
              exclude_id: int | None) -> DataFrame:
     """Integer-cosine top-k over a (vec_id, qvec, qnorm) frame — the
@@ -97,26 +141,45 @@ def _q8_topk(qframe: DataFrame, query_vec: list[float], k: int,
     per-vector scales cancel out of the cosine, so the whole kernel
     is integer dot products — which are associative, making
     cross-engine result parity STRUCTURAL (the float-fold cosine_topk
-    oracle relies on summation order)."""
+    oracle relies on summation order). r6: the dot runs as an int64
+    matmul in an Arrow kernel (integer addition is order-free, so
+    even the reduction order is irrelevant — exactness is free here);
+    the one float division chain replicates the JVM expression op for
+    op, and rounding + ordering stay JVM-side."""
     import math
+
+    import numpy as np
+    import pandas as pd
 
     amax = max((abs(float(x)) for x in query_vec), default=0.0)
     s = (amax / 127.0) or 1.0
-    qq = [int(math.floor(float(x) / s + 0.5)) for x in query_vec]
-    qcol = F.array(*[F.lit(i).cast("long") for i in qq])
-    codes = F.col("qvec").cast("array<long>")
-    dot = F.aggregate(F.zip_with(codes, qcol, lambda x, y: x * y),
-                      F.lit(0).cast("long"), lambda a, v: a + v)
-    bb = float(sum(i * i for i in qq)) or 1.0
-    sim = F.when(
-        F.col("qnorm") > 0,
-        F.round(dot.cast("double")
-                / (F.sqrt(F.col("qnorm").cast("double"))
-                   * F.lit(math.sqrt(bb)))
-                * 1000000, 0).cast("long"),
-    )  # all-zero vectors have no direction — dropped, not NaN-ranked
-    out = qframe.select("vec_id", sim.alias("sim_micro")) \
-        .where(F.col("sim_micro").isNotNull())
+    qq = np.array([int(math.floor(float(x) / s + 0.5))
+                   for x in query_vec], dtype=np.int64)
+    bb = float(int((qq * qq).sum())) or 1.0
+    sqrt_bb = math.sqrt(bb)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qn = pdf["qnorm"].to_numpy(np.int64)
+            keep = qn > 0   # zero vectors have no direction — dropped,
+            if not keep.any():  # matching the JVM when()'s null branch
+                continue
+            Q = np.array(list(pdf["qvec"][keep]), dtype=np.int64)
+            dot = Q @ qq   # exact: |dot| << 2^53
+            # same op order as the JVM expression: dot_double /
+            # (sqrt(qnorm_double) * sqrt_bb)
+            val = dot.astype(np.float64) / (
+                np.sqrt(qn[keep].astype(np.float64)) * sqrt_bb)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"][keep],
+                                "sim": val})
+
+    out = qframe.select("vec_id", "qvec", "qnorm") \
+        .mapInPandas(score, "vec_id long, sim double") \
+        .select("vec_id",
+                F.round(F.col("sim") * 1000000, 0).cast("long")
+                .alias("sim_micro"))
     if exclude_id is not None:
         out = out.where(F.col("vec_id") != exclude_id)
     return out.orderBy(F.desc("sim_micro"), F.asc("vec_id")).limit(k)
@@ -128,7 +191,16 @@ def _q8_topk(qframe: DataFrame, query_vec: list[float], k: int,
 # of build_q8_index's persisted codes). Entries are Spark-persisted
 # int8 codes — ~1/4 the float corpus; for corpora that don't fit
 # cluster storage memory use build_q8_index instead.
+#
+# LRU-BOUNDED (r6): at most Q8_MEMO_MAX distinct source plans stay
+# persisted; scoring an (N+1)-th corpus unpersists the least recently
+# used entry, so a long session cycling many corpora can no longer
+# accrete persisted frames without bound. Staleness contract: the
+# memo keys on the PLAN, not the files — overwriting the underlying
+# embedding files under an identical plan serves stale codes until
+# clear_q8_memo() (or SegmentIndex-style handle discipline) is called.
 _Q8_MEMO: dict = {}
+Q8_MEMO_MAX = 4
 
 
 def clear_q8_memo() -> None:
@@ -147,10 +219,17 @@ def _quantized_memo(emb: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     except Exception:  # plan hash unavailable (e.g. connect) — no memo
         key = None
     if key is not None and key in _Q8_MEMO:
-        return _Q8_MEMO[key]
-    q = quantize_embeddings(emb, vec_col, id_col) \
-        .withColumn("qnorm", _qnorm_col())
+        q = _Q8_MEMO.pop(key)
+        _Q8_MEMO[key] = q  # move to MRU position (dicts are ordered)
+        return q
+    q = _quantize_with_qnorm(emb, vec_col, id_col)
     if key is not None:
+        while len(_Q8_MEMO) >= Q8_MEMO_MAX:
+            old = _Q8_MEMO.pop(next(iter(_Q8_MEMO)))
+            try:
+                old.unpersist()
+            except Exception:
+                pass
         q = q.persist()
         _Q8_MEMO[key] = q
     return q
@@ -183,11 +262,8 @@ def build_q8_index(emb: DataFrame, path: str,
     qnorm (sum of squared codes) is precomputed so the query kernel
     is one integer dot + one divide per row. Quantization is
     deterministic, so rebuilds are idempotent."""
-    (
-        quantize_embeddings(emb, vec_col, id_col)
-        .withColumn("qnorm", _qnorm_col())
+    _quantize_with_qnorm(emb, vec_col, id_col) \
         .write.mode("overwrite").parquet(path)
-    )
 
 
 def cosine_topk_q8_indexed(spark, path: str, query_vec: list[float],
@@ -272,6 +348,32 @@ def probe_buckets(qb: int, n_planes: int, multiprobe_bits: int = 1) -> list[int]
     return sorted(out)
 
 
+def _with_bucket(emb: DataFrame, vec_col: str, n_planes: int,
+                 dim: int) -> DataFrame:
+    """``emb`` + a ``bucket`` column — the numpy twin of
+    ``withColumn('bucket', lsh_bucket(...))`` (exact integer
+    projection, see :func:`_bucket_ids_np`), computed in one Arrow
+    pass instead of n_planes × dim interpreted fold steps per row.
+    All other columns pass through byte-exact."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    W = _plane_matrix(n_planes, dim)
+    schema = T.StructType(list(emb.schema.fields)
+                          + [T.StructField("bucket", T.LongType())])
+
+    def add(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array([np.asarray(x, dtype=np.float64)
+                          for x in pdf[vec_col]])
+            yield pdf.assign(bucket=_bucket_ids_np(V, W))
+
+    return emb.mapInPandas(add, schema)
+
+
 def lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
              dim: int | None = None, n_planes: int = 8,
              multiprobe_bits: int = 1,
@@ -287,8 +389,7 @@ def lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     only the probed buckets' files."""
     dim = dim or len(query_vec)
     qb = query_bucket(query_vec, n_planes, dim)
-    vec = F.col(vec_col).cast("array<double>")
-    bucketed = emb.withColumn("bucket", lsh_bucket(vec, dim, n_planes))
+    bucketed = _with_bucket(emb, vec_col, n_planes, dim)
     cand = bucketed.where(
         F.col("bucket").isin(probe_buckets(qb, n_planes, multiprobe_bits))
     )
@@ -310,9 +411,8 @@ def build_lsh_index(emb: DataFrame, path: str, n_planes: int = 8,
             raise ValueError("cannot infer dim from an empty embedding "
                              "corpus — pass dim= explicitly")
         dim = row[0]["d"]
-    vec = F.col(vec_col).cast("array<double>")
     (
-        emb.withColumn("bucket", lsh_bucket(vec, dim, n_planes))
+        _with_bucket(emb, vec_col, n_planes, dim)
         .repartition("bucket")
         .write.mode("overwrite").partitionBy("bucket").parquet(path)
     )
@@ -330,6 +430,48 @@ def lsh_topk_indexed(spark, path: str, query_vec: list[float], k: int = 10,
     return cosine_topk(cand, query_vec, k, vec_col, id_col, exclude_id)
 
 
+def _plane_matrix(n_planes: int, dim: int):
+    """(n_planes × dim) float64 weight matrix of the md5 planes —
+    the literal arrays :func:`lsh_bucket` bakes into the plan."""
+    import numpy as np
+
+    return np.array(
+        [[plane_weight(p, d) for d in range(dim)] for p in range(n_planes)],
+        dtype=np.float64,
+    )
+
+
+def _bucket_ids_np(V, W):
+    """Exact numpy twin of :func:`lsh_bucket` over a (n × dim) float64
+    matrix: per plane, proj = Σ_d floor(x_d·w_d·1e6) as int64 (integer
+    addition — order-free, identical to the JVM fold and the DuckDB
+    SUM); bit p set iff proj > 0. floor operates on |x·w·1e6| ≪ 2^53
+    so the float64 floor is exact, and each elementwise op (mul, mul,
+    floor) is the same IEEE-754 operation the JVM evaluates."""
+    import numpy as np
+
+    n = V.shape[0]
+    bucket = np.zeros(n, dtype=np.int64)
+    for p in range(W.shape[0]):
+        proj = np.zeros(n, dtype=np.int64)
+        for d in range(V.shape[1]):
+            proj += np.floor(V[:, d] * W[p, d] * 1000000.0).astype(np.int64)
+        bucket += np.where(proj > 0, np.int64(1) << p, 0)
+    return bucket
+
+
+def _fold_sq_norm_np(V):
+    """sqrt of the LEFT-TO-RIGHT fold Σ_d v_d² — bit-identical to
+    ``_norm``'s interpreted ``aggregate`` (IEEE-754 double add/mul in
+    the same order), vectorized across rows."""
+    import numpy as np
+
+    acc = np.zeros(V.shape[0], dtype=np.float64)
+    for d in range(V.shape[1]):
+        acc = acc + V[:, d] * V[:, d]
+    return np.sqrt(acc)
+
+
 def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.4,
                         n_planes: int = 6, vec_col: str = "embedding",
                         id_col: str = "vec_id") -> DataFrame:
@@ -338,37 +480,108 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.4,
     bounded band join; never all-pairs), then exact cosine verifies
     ``>= threshold``. Returns (vec_a, vec_b, sim_micro), vec_a < vec_b.
 
+    Physical shape (r6): ONE Arrow pass stamps the bucket (numpy twin
+    of the interpreted ``lsh_bucket`` fold), ONE shuffle groups rows by
+    bucket, and a per-bucket numpy kernel emits the verified pairs —
+    the pairwise dot/norm math runs as dim-many vectorized float64
+    accumulations, reproducing the JVM fold's left-to-right IEEE order
+    bit-for-bit (float addition is not associative; BLAS/pairwise sums
+    would round differently). The kernel pre-filters at
+    ``threshold·1e6 − 1`` on the raw similarity and the FINAL
+    micro-rounding + threshold cut stay JVM-side expressions, so the
+    emitted rows are expression-identical to the join form this
+    replaces (same values through ``F.round``). vs the old
+    self-join + per-pair interpreted HOF cosine: ~3M interpreted folds
+    become 64 numpy axpy loops per bucket, and the bucket shuffle
+    moves each vector once instead of twice.
+
     Single-table LSH trades recall for cost (pairs split across
     buckets are missed); raise n_planes probes/bands off-line for
-    higher recall. At 100 TB the bucket join is the only shuffle and
-    its groups are 1/2^n_planes of the corpus."""
-    vec = F.col(vec_col).cast("array<double>")
+    higher recall. At 100 TB the bucket shuffle is the only shuffle
+    and its groups are 1/2^n_planes of the corpus (raise n_planes to
+    keep groups bounded; the kernel blocks its pair enumeration so
+    memory stays O(block × group), not O(group²))."""
+    import numpy as np
+    import pandas as pd
+
     dim_row = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
     if not dim_row:  # empty corpus → no pairs
         return emb.sparkSession.createDataFrame(
             [], "vec_a long, vec_b long, sim_micro long")
-    dim = dim_row[0]["d"]
-    # cache: the bucket projection is an interpreted fold over
-    # n_planes × dim — compute it once, not once per join side
-    b = emb.select(
-        F.col(id_col).alias("vid"),
-        vec.alias("v"),
-        lsh_bucket(vec, dim, n_planes).alias("bucket"),
-    ).cache()
-    pairs = (
-        b.alias("a")
-        .join(b.alias("b"),
-              (F.col("a.bucket") == F.col("b.bucket"))
-              & (F.col("a.vid") < F.col("b.vid")))
-        .select(
-            F.col("a.vid").alias("vec_a"),
-            F.col("b.vid").alias("vec_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")) * 1000000, 0)
-            .cast("long").alias("sim_micro"),
+    dim = int(dim_row[0]["d"])
+    W = _plane_matrix(n_planes, dim)
+    base = emb.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+
+    def add_bucket(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(list(pdf["v"]), dtype=np.float64)
+            pdf = pdf.assign(bucket=_bucket_ids_np(V, W))
+            yield pdf
+
+    bucketed = base.mapInPandas(
+        add_bucket, "vid long, v array<double>, bucket long")
+
+    pre = float(threshold) * 1000000.0 - 1.0  # lossless raw-sim prefilter
+    empty = pd.DataFrame({
+        "vec_a": pd.Series([], dtype="int64"),
+        "vec_b": pd.Series([], dtype="int64"),
+        "sim": pd.Series([], dtype="float64"),
+    })
+
+    def pair_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return empty
+        vid = pdf["vid"].to_numpy(np.int64)
+        order = np.argsort(vid, kind="mergesort")
+        vid = vid[order]
+        V = np.array(list(pdf["v"]), dtype=np.float64)[order]
+        norm = _fold_sq_norm_np(V)
+        out_a, out_b, out_s = [], [], []
+        # block rows so pair state is O(block × n), never O(n²)
+        blk = max(1, (1 << 22) // max(n, 1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for i0 in range(0, n - 1, blk):
+                i1 = min(i0 + blk, n - 1)
+                # sorted order ⇒ vid_j > vid_i needs j > i, so columns
+                # ≤ i0 never pair with this row block
+                j0 = i0 + 1
+                # dot via dim-many ordered accumulations (axpy outer
+                # products) — the exact left-to-right fold per pair
+                acc = np.zeros((i1 - i0, n - j0), dtype=np.float64)
+                for d in range(V.shape[1]):
+                    acc = acc + V[i0:i1, d, None] * V[None, j0:, d]
+                sim = acc / (norm[i0:i1, None] * norm[None, j0:])
+                keep = (vid[None, j0:] > vid[i0:i1, None]) \
+                    & (sim * 1000000.0 >= pre)
+                ri, ci = np.nonzero(keep)
+                if ri.size:
+                    out_a.append(vid[i0:i1][ri])
+                    out_b.append(vid[j0:][ci])
+                    out_s.append(sim[keep])
+        if not out_a:
+            return empty
+        return pd.DataFrame({
+            "vec_a": np.concatenate(out_a),
+            "vec_b": np.concatenate(out_b),
+            "sim": np.concatenate(out_s),
+        })
+
+    pairs = bucketed.groupBy("bucket").applyInPandas(
+        pair_kernel, "vec_a long, vec_b long, sim double")
+    return (
+        pairs.select(
+            "vec_a", "vec_b",
+            F.round(F.col("sim") * 1000000, 0).cast("long")
+            .alias("sim_micro"),
         )
         .where(F.col("sim_micro") >= int(threshold * 1000000))
     )
-    return pairs
 
 
 def ivf_centroids(emb: DataFrame, label_col: str = "label",

@@ -982,10 +982,19 @@ class SegmentIndex:
         self.norms = spark.read.parquet(f"{path}/norms").join(
             F.broadcast(self.shard_batch), ["shard", "batch"], "semi"
         )
-        if cache_hot:
-            self.blocks = self.blocks.cache()
-            self.norms = self.norms.cache()
         self._cache_hot = cache_hot
+        if cache_hot:
+            # Serving mode (r6): pin blocks/norms ALREADY hash-
+            # partitioned by shard with the pinned task count. A
+            # per-query term filter preserves hashpartitioning(shard,
+            # p), which satisfies the cogroup's required distribution,
+            # so every query plan runs as ONE fused stage — in-memory
+            # scan + filter + kernel — with ZERO exchanges (previously
+            # each query re-shuffled its pruned blocks by shard). This
+            # is the full ISAMB-page-cache shape: the layout cost is
+            # paid once at cache fill, queries only ever read it.
+            self.blocks = self._pin(self.blocks).cache()
+            self.norms = self._pin(self.norms).cache()
         self._pnorms = None
         self._stats = None
         self._dict = None
@@ -1074,26 +1083,35 @@ class SegmentIndex:
     def _norms_side(self, blk: DataFrame) -> DataFrame:
         """The norms input of a cogrouped kernel, already pinned.
 
-        Serving mode (cache_hot): the pinned-by-shard norms are
-        persisted ONCE and reused by every subsequent query — the
-        kernels emit nothing for a shard group with no blocks, so
-        dropping the per-query semi-join prune changes no result,
-        while the per-query norms shuffle AND the blk-distinct
-        aggregate subtree disappear from every plan (the persisted
-        frame's hashpartitioning(shard, p) satisfies the cogroup's
-        required distribution, so no exchange is re-inserted). This
-        is the Zebra ISAMB page-cache shape: pay the layout cost on
-        first touch, serve from it afterwards.
+        Serving mode (cache_hot): ``self.norms`` is already persisted
+        hash-partitioned by shard (see ``__init__``), so it is the
+        norms input as-is — the kernels emit nothing for a shard
+        group with no blocks, so dropping the per-query semi-join
+        prune changes no result, while the per-query norms shuffle
+        AND the blk-distinct aggregate subtree disappear from every
+        plan (the persisted frame's hashpartitioning(shard, p)
+        satisfies the cogroup's required distribution, so no exchange
+        is re-inserted). This is the Zebra ISAMB page-cache shape:
+        pay the layout cost on first touch, serve from it afterwards.
 
         Batch mode: keep the semi-join prune — a one-shot query on
         rare terms shuffles far fewer norm rows, and nothing is
         retained across calls."""
         if self._cache_hot:
-            if self._pnorms is None:
-                self._pnorms = self._pin(self.norms).persist()
-            return self._pnorms
+            return self.norms
         return self._pin(self.norms.join(
             blk.select("shard").distinct(), "shard", "semi"))
+
+    def _kernel_input(self, blk: DataFrame) -> DataFrame:
+        """The blocks input of a per-shard kernel. Serving mode: the
+        persisted blocks already carry hashpartitioning(shard, p) and
+        a term filter preserves it, so the frame feeds the cogroup
+        directly — no per-query exchange, the whole query is one fused
+        stage. Batch mode: pin the task count explicitly (see
+        :meth:`_pin`)."""
+        if self._cache_hot:
+            return blk
+        return self._pin(blk)
 
     def _pin(self, df: DataFrame) -> DataFrame:
         """Pin the kernel stage's task count (repartition by shard
@@ -1127,7 +1145,7 @@ class SegmentIndex:
         kernel = _shard_kernel(term_idf, order, avgdl, mode, theta, k,
                                neg_terms=neg_terms)
         return (
-            self._pin(blk).groupBy("shard")
+            self._kernel_input(blk).groupBy("shard")
             .cogroup(nrm.groupBy("shard"))
             .applyInPandas(kernel, TOPK_SCHEMA)
         )
@@ -1227,7 +1245,7 @@ class SegmentIndex:
         nrm = self._norms_side(blk)
         kernel = _multi_query_kernel(specs, avgdl, k)
         out = (
-            self._pin(blk).groupBy("shard")
+            self._kernel_input(blk).groupBy("shard")
             .cogroup(nrm.groupBy("shard"))
             .applyInPandas(kernel, BATCH_TOPK_SCHEMA)
         )
@@ -1462,7 +1480,7 @@ class SegmentIndex:
         nrm = self._norms_side(blk)
         kernel = _rset_kernel(tree, term_idf, avgdl, rank_order, k)
         return (
-            self._pin(blk).groupBy("shard")
+            self._kernel_input(blk).groupBy("shard")
             .cogroup(nrm.groupBy("shard"))
             .applyInPandas(kernel, RSET_SCHEMA)
         )
@@ -1534,7 +1552,7 @@ class SegmentIndex:
         nrm = self._norms_side(blk)
         kernel = _rset_kernel_many(specs, avgdl, k)
         out = (
-            self._pin(blk).groupBy("shard")
+            self._kernel_input(blk).groupBy("shard")
             .cogroup(nrm.groupBy("shard"))
             .applyInPandas(kernel, BATCH_TOPK_SCHEMA)
         )
@@ -1619,7 +1637,7 @@ class SegmentIndex:
             [t for t, _ in sorted(terms_info, key=lambda x: x[1]["df"])],
             avgdl, mode, 0.0, None,
         )
-        rows = self._pin(blk).groupBy("shard").cogroup(
+        rows = self._kernel_input(blk).groupBy("shard").cogroup(
             nrm.groupBy("shard")).applyInPandas(
             kernel, TOPK_SCHEMA
         )
@@ -1636,7 +1654,7 @@ class SegmentIndex:
         have been built with store_positions=True."""
         terms_l = [t.lower() for t in terms]
         blk = self.blocks.where(F.col("term").isin(sorted(set(terms_l))))
-        out = self._pin(blk).groupBy("shard").applyInPandas(
+        out = self._kernel_input(blk).groupBy("shard").applyInPandas(
             _phrase_kernel(terms_l), PHRASE_SCHEMA
         )
         return out.orderBy(F.asc("doc_id")).limit(k)
