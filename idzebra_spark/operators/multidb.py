@@ -87,6 +87,7 @@ class MultiSegmentIndex(SegmentIndex):
         self._stats = None
         self._dict = None
         self._term_memo: dict[str, dict | None] = {}
+        self._expand_memo: dict[tuple, list[str]] = {}
 
     # global (term, df, cf, max_tf): second-stage merge over the
     # members' own merged dictionaries — df sums across databases so

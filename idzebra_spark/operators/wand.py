@@ -999,6 +999,7 @@ class SegmentIndex:
         self._stats = None
         self._dict = None
         self._term_memo: dict[str, dict | None] = {}
+        self._expand_memo: dict[tuple, list[str]] = {}
 
     # -------------------------------------------------------- metadata
 
@@ -1388,6 +1389,11 @@ class SegmentIndex:
         of 'regex with ≤ n errors', without reimplementing the
         Wu-Manber bit-parallel automaton.
 
+        Expansions are memoized per handle (r6) — the same dict-LRU
+        discipline as :meth:`lookup_terms` (dict/dict-p.h:44-70): a
+        repeated wildcard leaf costs zero Spark jobs after its first
+        evaluation on this (immutable) index snapshot.
+
         Expansion is scoped to one register: by default the BODY text
         (composite ``field\\x1fterm`` keys excluded), or a single
         field's keys via ``field=`` — exactly as Zebra anchors
@@ -1396,6 +1402,11 @@ class SegmentIndex:
         scope, ('suffix', 'en') on a fielded index would match
         'lang\\x1fen' and return every lang=en doc."""
         from idzebra_spark.operators.boolean import FIELD_SEP
+
+        memo_key = (kind, pattern, field, errors, stem)
+        hit = self._expand_memo.get(memo_key)
+        if hit is not None:
+            return list(hit)
 
         d = self.dictionary().select("term")
         if field is None:
@@ -1433,7 +1444,9 @@ class SegmentIndex:
             raise ValueError(
                 f"truncation {kind}:{pattern!r} expands past "
                 f"{self.MAX_EXPAND} terms")
-        return sorted(r["term"] for r in rows)
+        terms = sorted(r["term"] for r in rows)
+        self._expand_memo[memo_key] = terms
+        return list(terms)
 
     def _expand_tree(self, tree):
         """Replace truncation leaves with ('terms', [...]) lists. A

@@ -105,14 +105,15 @@ def main() -> None:
     hot.topk(["merge"], 10).collect()   # populate the pinned norms
     hp = hot.topk(["merge", "sort"], 10)
     sections.append((
-        "Serving-mode pinned norms (cache_hot)",
-        "With cache_hot the shard-pinned norms frame is persisted "
-        "once (_norms_side): every subsequent query's plan reads the "
-        "norms side from InMemoryTableScan with NO per-query "
-        "semi-join subtree and NO norms shuffle — the persisted "
-        "hashpartitioning(shard, p) already satisfies the cogroup's "
-        "required distribution, so only the (query-specific) block "
-        "side exchanges.",
+        "Serving-mode pinned layout (cache_hot, r6)",
+        "With cache_hot BOTH blocks and norms are persisted hash-"
+        "partitioned by shard at handle open; a per-query term filter "
+        "preserves hashpartitioning(shard, p), which satisfies the "
+        "cogroup's required distribution on both sides — so the whole "
+        "query is ONE fused stage (InMemoryTableScan -> Filter -> "
+        "Sort -> FlatMapCoGroupsInPandas -> TakeOrderedAndProject) "
+        "with ZERO query-level exchanges (every Exchange below is "
+        "inside the InMemoryRelation's one-time build lineage).",
         explain_str(hp),
     ))
 

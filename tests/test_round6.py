@@ -111,6 +111,31 @@ def test_embedding_dup_pairs_matches_join_form(spark):
     assert got == want and len(got) > 0
 
 
+def test_expand_memo(spark, tmp_path, tricky_corpus):
+    """Truncation expansions are memoized per handle (dict-LRU
+    discipline): a repeated wildcard leaf re-uses the first result,
+    and the memo returns defensive copies."""
+    from idzebra_spark.operators.segment import build_index
+    from idzebra_spark.operators.wand import SegmentIndex
+
+    path = str(tmp_path / "idx")
+    build_index(spark, tricky_corpus, path, shard_size=128, block_size=64)
+    idx = SegmentIndex(spark, path)
+    a = idx.expand("prefix", "d")
+    assert ("prefix", "d", None, 1, None) in idx._expand_memo
+    b = idx.expand("prefix", "d")
+    assert a == b and a is not b
+    b.append("mutated")
+    assert idx.expand("prefix", "d") == a
+    # different pattern → separate entry
+    idx.expand("suffix", "p")
+    assert len(idx._expand_memo) == 2
+    # search_tree with a wildcard goes through the memo too
+    r1 = [tuple(r) for r in idx.search_tree(("prefix", "d"), 10).collect()]
+    r2 = [tuple(r) for r in idx.search_tree(("prefix", "d"), 10).collect()]
+    assert r1 == r2
+
+
 def test_charmap_batched_guard_counterexamples(spark):
     """ADVICE r5: batching must refuse replace lists where a
     sequential pair consumes a batched src or a batched dst —
