@@ -1611,7 +1611,7 @@ class SegmentIndex:
         return blk.mapInPandas(gen, POSTINGS_SCHEMA)
 
     def approx_count(self, terms: list[str], mode: str = "or",
-                     sample: float = 0.25, picker: str = "hash") -> int:
+                     sample: float = 0.25, picker: str = "stride") -> int:
         """Approximate hit count — Zebra's hits_limit/estimatehits
         stops counting early and extrapolates from the position ratio
         (/root/reference/index/zsets.c:1498-1522). Here: count exactly
@@ -1619,10 +1619,14 @@ class SegmentIndex:
         the sampled fraction of documents. The scale-up is integer
         arithmetic (half-up), so the estimate is engine-independent.
 
-        ``picker``: 'hash' (default) pseudo-randomizes the shard draw
-        via xxhash64; 'stride' takes every ``round(1/sample)``-th
-        shard by id — systematic sampling over the docid range, and
-        expressible in plain SQL (the oracle entry uses it)."""
+        ``picker``: 'stride' (default — r6, was 'hash': the default
+        is now the path the hard oracle checks, per the r5 review)
+        takes every ``round(1/sample)``-th shard by id — systematic
+        sampling over the docid range, expressible in plain SQL (the
+        ``approx_hit_count`` oracle entry uses it); 'hash'
+        pseudo-randomizes the shard draw via xxhash64 (useful when
+        docid ranges correlate with content and systematic sampling
+        would alias)."""
         terms = sorted(set(t.lower() for t in terms))
         info = self.lookup_terms(terms)
         if not info or (mode == "and" and len(info) < len(terms)):
