@@ -430,15 +430,26 @@ def lsh_topk_indexed(spark, path: str, query_vec: list[float], k: int = 10,
     return cosine_topk(cand, query_vec, k, vec_col, id_col, exclude_id)
 
 
+_PLANE_MATRIX_CACHE: dict = {}
+
+
 def _plane_matrix(n_planes: int, dim: int):
     """(n_planes × dim) float64 weight matrix of the md5 planes —
-    the literal arrays :func:`lsh_bucket` bakes into the plan."""
+    the literal arrays :func:`lsh_bucket` bakes into the plan.
+    Memoized (it is also computed INSIDE kernels, once per task, so a
+    reused python worker pays the ~n_planes·dim md5 calls once)."""
     import numpy as np
 
-    return np.array(
-        [[plane_weight(p, d) for d in range(dim)] for p in range(n_planes)],
-        dtype=np.float64,
-    )
+    key = (n_planes, dim)
+    w = _PLANE_MATRIX_CACHE.get(key)
+    if w is None:
+        w = np.array(
+            [[plane_weight(p, d) for d in range(dim)]
+             for p in range(n_planes)],
+            dtype=np.float64,
+        )
+        _PLANE_MATRIX_CACHE[key] = w
+    return w
 
 
 def _bucket_ids_np(V, W):
@@ -504,23 +515,21 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.4,
     import numpy as np
     import pandas as pd
 
-    dim_row = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
-    if not dim_row:  # empty corpus → no pairs
-        return emb.sparkSession.createDataFrame(
-            [], "vec_a long, vec_b long, sim_micro long")
-    dim = int(dim_row[0]["d"])
-    W = _plane_matrix(n_planes, dim)
     base = emb.select(
         F.col(id_col).cast("long").alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
 
     def add_bucket(batches):
+        # dim is read off the data inside the task — no driver-side
+        # probe job; the plane matrix is memoized per reused worker
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             V = np.array(list(pdf["v"]), dtype=np.float64)
-            pdf = pdf.assign(bucket=_bucket_ids_np(V, W))
+            pdf = pdf.assign(
+                bucket=_bucket_ids_np(V, _plane_matrix(n_planes,
+                                                       V.shape[1])))
             yield pdf
 
     bucketed = base.mapInPandas(
